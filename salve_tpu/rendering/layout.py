@@ -1,0 +1,149 @@
+"""Rasterized room-layout rendering (the verifier's "layout" modality).
+
+Parity: salve/utils/bev_rendering_utils.py:48-156 (rasterize_room_layout_pair
+/ rasterize_single_layout): the room boundary polygon is filled white, and
+each W/D/O segment is drawn as a thick colored line (windows red, doors
+green, openings blue), then the image is flipped vertically. The reference
+used cv2.fillPoly + cv2.line(LINE_AA); here both are XLA coverage kernels
+(salve_tpu.ops.raster), with layouts padded to static sizes so one compiled
+program serves every pair.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salve_tpu.common.pano_data import PanoData
+from salve_tpu.geometry.sim2 import Sim2
+from salve_tpu.ops import bev as bev_ops
+from salve_tpu.ops import raster
+
+HOHO_S_ZIND_SCALE_FACTOR = 1.5
+
+WDO_COLORS = {
+    "windows": np.array([255.0, 0.0, 0.0]),
+    "doors": np.array([0.0, 255.0, 0.0]),
+    "openings": np.array([0.0, 0.0, 255.0]),
+}
+WHITE = np.array([255.0, 255.0, 255.0])
+
+# Default padded sizes; bumped automatically if a layout exceeds them.
+MAX_ROOM_VERTS = 64
+MAX_WDOS = 16
+
+# Line width at 0.02 m/px: 30 px at full-res 0.005 m/px -> 30/4 = 7.5 -> 8
+# (parity: salve/common/bevparams.py:81-99).
+FULL_RES_METERS_PER_PX = 0.005
+FULL_RES_LINE_WIDTH_PX = 30
+
+
+def get_line_width_by_resolution(resolution: float) -> int:
+    """Polyline thickness in px for a rendering resolution (bevparams.py:81)."""
+    scale = resolution / FULL_RES_METERS_PER_PX
+    return max(round(FULL_RES_LINE_WIDTH_PX / scale), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("img_px", "meters_per_px"))
+def rasterize_layout_device(
+    room_verts: jnp.ndarray,
+    num_room_verts: jnp.ndarray,
+    wdo_segments: jnp.ndarray,
+    wdo_colors: jnp.ndarray,
+    num_wdos: jnp.ndarray,
+    img_px: int = bev_ops.DEFAULT_BEV_IMG_PX,
+    meters_per_px: float = bev_ops.DEFAULT_METERS_PER_PX,
+) -> jnp.ndarray:
+    """Render one layout: filled room mask + thick W/D/O segments.
+
+    Args:
+        room_verts: (V,2) world coords, padded; already includes any closure.
+        num_room_verts: scalar int — real vertex count.
+        wdo_segments: (K,2,2) world coords of W/D/O endpoint pairs, padded.
+        wdo_colors: (K,3) RGB color per W/D/O.
+        num_wdos: scalar int — real W/D/O count.
+
+    Returns:
+        (img_px+1, img_px+1, 3) float image (pre-flip applied).
+    """
+    img_h = img_w = img_px + 1
+    half_m = float(int((img_px / 2) * meters_per_px))
+    thickness = jnp.float32(get_line_width_by_resolution(meters_per_px))
+
+    def world_to_img(p):
+        return (p * HOHO_S_ZIND_SCALE_FACTOR + half_m) / meters_per_px
+
+    room_img = world_to_img(room_verts)
+    mask = raster.polygon_mask(room_img, num_room_verts, img_h, img_w)
+    img = jnp.where(mask[..., None], WHITE, 0.0)
+
+    seg_img = world_to_img(wdo_segments)  # (K,2,2)
+
+    def body(img, inputs):
+        k, seg, color = inputs
+        cov = raster.polyline_coverage(seg, jnp.int32(2), thickness, img_h, img_w)
+        cov = jnp.where(k < num_wdos, cov, 0.0)
+        return raster.paint_rgb(img, cov, color), None
+
+    ks = jnp.arange(wdo_segments.shape[0])
+    img, _ = jax.lax.scan(body, img, (ks, seg_img, wdo_colors))
+    return img[::-1]  # flipud
+
+
+def _pad_layout(
+    room_verts: np.ndarray, wdos: List, max_verts: int, max_wdos: int
+) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray, int]:
+    """Pad one layout's arrays to static sizes for the device kernel."""
+    v = np.zeros((max_verts, 2), dtype=np.float32)
+    n_v = min(room_verts.shape[0], max_verts)
+    v[:n_v] = room_verts[:n_v]
+
+    segs = np.zeros((max_wdos, 2, 2), dtype=np.float32)
+    colors = np.zeros((max_wdos, 3), dtype=np.float32)
+    n_w = min(len(wdos), max_wdos)
+    for k in range(n_w):
+        segs[k] = wdos[k].vertices_local_2d
+        colors[k] = WDO_COLORS[wdos[k].type]
+    return v, n_v, segs, colors, n_w
+
+
+def rasterize_single_layout(
+    room_vertices: np.ndarray,
+    wdo_objs: List,
+    img_px: int = bev_ops.DEFAULT_BEV_IMG_PX,
+    meters_per_px: float = bev_ops.DEFAULT_METERS_PER_PX,
+) -> np.ndarray:
+    """Host wrapper: render one room layout to (H,W,3) uint8."""
+    max_verts = max(MAX_ROOM_VERTS, room_vertices.shape[0])
+    max_wdos = max(MAX_WDOS, len(wdo_objs))
+    v, n_v, segs, colors, n_w = _pad_layout(room_vertices, wdo_objs, max_verts, max_wdos)
+    img = rasterize_layout_device(
+        jnp.asarray(v),
+        jnp.int32(n_v),
+        jnp.asarray(segs),
+        jnp.asarray(colors),
+        jnp.int32(n_w),
+        img_px,
+        meters_per_px,
+    )
+    return np.clip(np.round(np.asarray(img)), 0, 255).astype(np.uint8)
+
+
+def rasterize_room_layout_pair(
+    i2Ti1: Sim2, pano1: PanoData, pano2: PanoData
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rasterize both panos' layouts in pano 2's frame.
+
+    Parity: bev_rendering_utils.py:48 — pano 1's room polygon and W/D/Os are
+    moved through i2Ti1; pano 2's are already in frame i2.
+    """
+    i1_verts = i2Ti1.transform_from(pano1.room_vertices_local_2d)
+    i1_wdos = [w.transform_from(i2Ti1) for w in pano1.all_wdos]
+    img1 = rasterize_single_layout(i1_verts, i1_wdos)
+
+    img2 = rasterize_single_layout(pano2.room_vertices_local_2d, pano2.all_wdos)
+    return img1, img2

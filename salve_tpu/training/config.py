@@ -1,0 +1,62 @@
+"""Training hyperparameters (parity: salve/training_config.py:8).
+
+Defaults follow the best released model's config
+(salve/configs/1200ffbe47d836557d88fef052952337.yaml): ResNet-152, batch
+256, 234->224 crops, adam + poly LR, ceiling+floor RGB modalities.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class TrainingConfig:
+    """Model training hyperparameters for a single experiment."""
+
+    lr_annealing_strategy: str = "poly"
+    base_lr: float = 0.001
+    weight_decay: float = 0.0001
+    num_ce_classes: int = 2
+    print_every: int = 10
+    poly_lr_power: float = 0.9
+    optimizer_algo: str = "adam"
+    num_layers: int = 152
+    pretrained: bool = True
+    dataparallel: bool = True  # kept for config parity; mesh DP is always on
+    resize_h: int = 234
+    resize_w: int = 234
+    train_h: int = 224
+    train_w: int = 224
+    apply_photometric_augmentation: bool = False
+    modalities: Tuple[str, ...] = ("ceiling_rgb_texture", "floor_rgb_texture")
+
+    cfg_stem: str = ""
+    num_epochs: int = 50
+    workers: int = 15
+    batch_size: int = 256
+
+    data_root: str = ""
+    layout_data_root: str = ""
+    model_save_dirpath: str = ""
+    gpu_ids: Optional[str] = None
+
+    # TPU-specific additions (no reference analog).
+    compute_dtype: str = "bfloat16"
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on one axis
+
+
+def load_training_config(yaml_fpath: str) -> TrainingConfig:
+    """Load a reference-format hydra YAML (TrainingConfig: {_target_, ...})."""
+    import yaml
+
+    with open(yaml_fpath, "r") as f:
+        raw = yaml.safe_load(f)
+    params = dict(raw["TrainingConfig"])
+    params.pop("_target_", None)
+    params = {k: v for k, v in params.items() if v is not None}
+    if "modalities" in params:
+        params["modalities"] = tuple(params["modalities"])
+    known = set(TrainingConfig.__dataclass_fields__)
+    return TrainingConfig(**{k: v for k, v in params.items() if k in known})

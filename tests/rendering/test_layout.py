@@ -1,0 +1,66 @@
+"""Tests for layout rasterization and BEV pair rendering orchestration."""
+
+import numpy as np
+
+from salve_tpu.common.wdo import WDO
+from salve_tpu.geometry.sim2 import Sim2
+from salve_tpu.rendering import layout
+from salve_tpu.rendering.bev_pair import render_bev_pair
+
+
+class TestLineWidth:
+    def test_default_resolutions(self) -> None:
+        # Parity values from salve/common/bevparams.py docstring.
+        assert layout.get_line_width_by_resolution(0.005) == 30
+        assert layout.get_line_width_by_resolution(0.02) == 8
+        assert layout.get_line_width_by_resolution(1.0) == 1
+
+
+class TestRasterizeSingleLayout:
+    def test_room_and_wdo_colors(self) -> None:
+        # 4m x 4m room (scaled by 1.5 -> 6m) centered at origin, one door
+        # on the east wall.
+        room = np.array([[-2.0, -2], [2, -2], [2, 2], [-2, 2]])
+        door = WDO(
+            global_Sim2_local=Sim2.identity(),
+            pt1=(2.0, -0.5),
+            pt2=(2.0, 0.5),
+            bottom_z=0,
+            top_z=2,
+            type="doors",
+        )
+        img = layout.rasterize_single_layout(room, [door])
+        assert img.shape == (501, 501, 3)
+        # Center pixel is inside the room -> white.
+        assert (img[250, 250] == 255).all()
+        # Door segment at world x=2*1.5=3m -> px x=(3+5)/0.02=400, y=250.
+        px = img[250, 400]
+        assert px[1] > 200 and px[0] < 60 and px[2] < 60  # green
+        # Far corner is empty.
+        assert (img[5, 5] == 0).all()
+
+    def test_flipud(self) -> None:
+        # A room strictly in +y half-plane should appear in the TOP rows
+        # after the vertical flip.
+        room = np.array([[-1.0, 1.0], [1, 1], [1, 2], [-1, 2]])
+        img = layout.rasterize_single_layout(room, [])
+        ys, _ = np.nonzero(img[..., 0] > 0)
+        assert ys.max() < 250
+
+
+class TestRenderBEVPairSmoke:
+    def test_synthetic_pair(self) -> None:
+        h, w = 64, 128
+        depth = np.full((h, w), 2000, dtype=np.uint16)
+        rgb = np.full((h, w, 3), 0.5, dtype=np.float32)
+        from salve_tpu.rendering import bev_pair
+
+        cfg = bev_pair.BEVRenderConfig(img_px=100, meters_per_px=0.1, crop_ratio=0.1)
+        img1, img2 = render_bev_pair(
+            depth, rgb, depth, rgb, Sim2.identity(), "floor", cfg
+        )
+        assert img1.shape == (101, 101, 3)
+        assert img2.shape == (101, 101, 3)
+        # identity pose + identical panos -> identical renders
+        assert np.array_equal(img1, img2)
+        assert img1.sum() > 0  # floor ring visible
