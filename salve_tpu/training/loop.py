@@ -1,0 +1,202 @@
+"""Training and evaluation epoch loops (parity: scripts/train.py, scripts/test.py).
+
+The loop keeps the reference's behavioral contract — per-epoch train+val
+metrics accumulated into a results dict, best-`val_mAcc` checkpointing,
+results-JSON + config copy — while the compute runs as pjit-sharded steps
+over the device mesh (batch on 'data', params replicated).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from salve_tpu.dataset.bev_pairs import BEVPairDataset
+from salve_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from salve_tpu.training import train as train_lib
+from salve_tpu.training.config import TrainingConfig
+from salve_tpu.training.meters import AverageMeter, SegmentationAverageMeter
+from salve_tpu.utils.io import save_json_file
+
+logger = logging.getLogger(__name__)
+
+
+def run_epoch(
+    cfg: TrainingConfig,
+    epoch: int,
+    state,
+    step_fn,
+    dataset: BEVPairDataset,
+    split: str,
+    rng: Optional[jax.Array] = None,
+    max_batches: Optional[int] = None,
+    mesh=None,
+) -> Tuple[object, Dict[str, float]]:
+    """One pass over a split. Returns (state, metrics dict)."""
+    sam = SegmentationAverageMeter()
+    loss_meter = AverageMeter()
+    batch_time = AverageMeter()
+
+    n_batches = 0
+    end = time.time()
+    for imgs, labels, _ in dataset.iter_batches(
+        cfg.batch_size, shuffle=(split == "train"), seed=epoch
+    ):
+        if mesh is not None and imgs.shape[0] % mesh.size == 0:
+            imgs, labels = shard_batch(mesh, (imgs, labels))
+        if split == "train":
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, imgs, labels, sub)
+            y_hat = np.argmax(np.asarray(metrics["probs"]), axis=1)
+        else:
+            metrics = step_fn(state, imgs, labels)
+            y_hat = np.asarray(metrics["y_hat"])
+
+        loss = float(np.asarray(metrics["loss"]))
+        sam.update_metrics(y_hat, np.asarray(labels), num_classes=cfg.num_ce_classes)
+        loss_meter.update(loss, n=labels.shape[0])
+        batch_time.update(time.time() - end)
+        end = time.time()
+        n_batches += 1
+        if n_batches % cfg.print_every == 0:
+            _, _, _, running_mAcc, _ = sam.get_metrics()
+            logger.info(
+                "[%s] epoch %d batch %d loss %.4f mAcc %.4f (%.2fs/batch)",
+                split, epoch, n_batches, loss, running_mAcc, batch_time.avg,
+            )
+        if max_batches is not None and n_batches >= max_batches:
+            break
+
+    _, accuracy_class, _, mAcc, _ = sam.get_metrics()
+    metrics_dict = {
+        "avg_loss": loss_meter.avg,
+        "mAcc": mAcc,
+        "class_accs": list(map(float, accuracy_class)),
+    }
+    return state, metrics_dict
+
+
+def train(
+    cfg: TrainingConfig,
+    seed: int = 0,
+    max_batches_per_epoch: Optional[int] = None,
+) -> Dict[str, List[float]]:
+    """Full training run (parity: scripts/train.py:40-116).
+
+    Returns the accumulated results dict (train_/val_ prefixed metrics).
+    """
+    np.random.seed(0)
+
+    mesh = make_mesh(cfg.mesh_shape)
+    train_ds = BEVPairDataset("train", cfg, workers=cfg.workers)
+    val_ds = BEVPairDataset("val", cfg, workers=cfg.workers)
+
+    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    max_iter = cfg.num_epochs * steps_per_epoch
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    state = train_lib.create_train_state(cfg, init_rng, max_iter)
+
+    with mesh:
+        state = replicate(mesh, state)
+        train_step = train_lib.make_train_step(cfg)
+        eval_step = train_lib.make_eval_step(cfg)
+
+        results_dict: Dict[str, List[float]] = defaultdict(list)
+        exp_start_time = time.strftime("%Y_%m_%d_%H_%M_%S")
+        results_dir = f"{cfg.model_save_dirpath}/{exp_start_time}"
+
+        for epoch in range(cfg.num_epochs):
+            logger.info("On epoch %d", epoch)
+            rng, epoch_rng = jax.random.split(rng)
+            state, train_metrics = run_epoch(
+                cfg, epoch, state, train_step, train_ds, "train",
+                rng=epoch_rng, max_batches=max_batches_per_epoch, mesh=mesh,
+            )
+            for k, v in train_metrics.items():
+                results_dict[f"train_{k}"].append(v)
+
+            _, val_metrics = run_epoch(
+                cfg, epoch, state, eval_step, val_ds, "val",
+                max_batches=max_batches_per_epoch, mesh=mesh,
+            )
+            for k, v in val_metrics.items():
+                results_dict[f"val_{k}"].append(v)
+
+            crit = results_dict["val_mAcc"]
+            is_best = epoch == 0 or crit[-1] > max(crit[:-1])
+            if is_best:
+                train_lib.save_checkpoint(results_dir, state, epoch, crit[-1], cfg)
+            save_json_file(
+                f"{results_dir}/results-{exp_start_time}-{cfg.cfg_stem}.json",
+                dict(results_dict),
+            )
+            train_lib.save_results_json(results_dir, dict(results_dict), cfg)
+            logger.info("val_mAcc history: %s", [f"{v:.3f}" for v in crit])
+
+    return dict(results_dict)
+
+
+def evaluate(
+    cfg: TrainingConfig,
+    ckpt_fpath: str,
+    split: str,
+    serialization_save_dir: str,
+    max_batches: Optional[int] = None,
+) -> Tuple[float, float, float]:
+    """Run inference over a split and serialize per-batch predictions.
+
+    Parity: scripts/test.py:156-254 — each batch writes batch_{i}.json with
+    {y_hat, y_true, y_hat_probs, fp0, fp1}; this is the Stage C -> Stage D
+    interface contract.
+    """
+    from salve_tpu.training.meters import PrecisionRecallMeter
+
+    mesh = make_mesh(cfg.mesh_shape)
+    ds = BEVPairDataset(split, cfg, workers=cfg.workers)
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=1)
+    state = train_lib.load_model_checkpoint(ckpt_fpath, state)
+
+    pr_meter = PrecisionRecallMeter()
+    sam = SegmentationAverageMeter()
+
+    with mesh:
+        state = replicate(mesh, state)
+        eval_step = train_lib.make_eval_step(cfg)
+
+        for batch_idx, (imgs, labels, tuples) in enumerate(
+            ds.iter_batches(cfg.batch_size, shuffle=False)
+        ):
+            if imgs.shape[0] % mesh.size == 0:
+                imgs, labels = shard_batch(mesh, (imgs, labels))
+            metrics = eval_step(state, imgs, labels)
+            y_hat = np.asarray(metrics["y_hat"])
+            probs = np.asarray(metrics["probs"])
+
+            labels_np = np.asarray(labels)
+            pr_meter.update(labels_np, y_hat)
+            sam.update_metrics(y_hat, labels_np, num_classes=cfg.num_ce_classes)
+
+            n = y_hat.shape[0]
+            save_json_file(
+                f"{serialization_save_dir}/batch_{batch_idx}.json",
+                {
+                    "y_hat": y_hat.tolist(),
+                    "y_true": labels_np.tolist(),
+                    "y_hat_probs": probs[np.arange(n), y_hat].tolist(),
+                    "fp0": [t[0] for t in tuples],
+                    "fp1": [t[1] for t in tuples],
+                },
+            )
+            if max_batches is not None and batch_idx + 1 >= max_batches:
+                break
+
+    prec, rec, mAcc = pr_meter.get_metrics()
+    logger.info("%s split: prec %.3f rec %.3f mAcc %.3f", split, prec, rec, mAcc)
+    return prec, rec, mAcc

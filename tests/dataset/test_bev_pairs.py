@@ -1,0 +1,83 @@
+"""Tests for BEV-pair dataset discovery (filename-grammar parity)."""
+
+import numpy as np
+import pytest
+
+from salve_tpu.dataset import bev_pairs
+from salve_tpu.training.config import TrainingConfig
+
+
+class TestFilenameParsing:
+    def test_pair_idx(self) -> None:
+        fp = "x/pair_58___door_0_0_rotated_ceiling_rgb_floor_01_partial_room_07_pano_8.jpg"
+        assert bev_pairs.pair_idx_from_fpath(fp) == 58
+
+    def test_pano_id(self) -> None:
+        fp = "x/pair_58___door_0_0_rotated_ceiling_rgb_floor_01_partial_room_07_pano_8.jpg"
+        assert bev_pairs.pano_id_from_fpath(fp) == 8
+
+
+class TestTupleGrouping:
+    def test_reference_fixture_files(self, ref_test_data) -> None:
+        """The real 4-file fixture pair groups into one ceiling-first tuple."""
+        import glob
+
+        fpaths = glob.glob(
+            str(ref_test_data / "Renderings/gt_alignment_approx/1208/*.jpg")
+        )
+        assert len(fpaths) == 4
+        cfg = TrainingConfig()
+        tuples = bev_pairs.get_tuples_from_fpath_list(fpaths, label_idx=1, args=cfg)
+        assert len(tuples) == 1
+        fp1c, fp2c, fp1f, fp2f, label = tuples[0]
+        assert "_ceiling_rgb_" in fp1c and "_ceiling_rgb_" in fp2c
+        assert "_floor_rgb_" in fp1f and "_floor_rgb_" in fp2f
+        assert label == 1
+        assert bev_pairs.pano_id_from_fpath(fp1c) != bev_pairs.pano_id_from_fpath(fp2c)
+
+    def test_incomplete_pair_skipped(self) -> None:
+        cfg = TrainingConfig()
+        fpaths = ["a/pair_3___door_0_0_identity_ceiling_rgb_floor_01_pano_1.jpg"]
+        assert bev_pairs.get_tuples_from_fpath_list(fpaths, 1, cfg) == []
+
+    def test_single_modality(self) -> None:
+        cfg = TrainingConfig(modalities=("floor_rgb_texture",))
+        fpaths = [
+            "a/pair_3___door_0_0_identity_ceiling_rgb_floor_01_pano_1.jpg",
+            "a/pair_3___door_0_0_identity_ceiling_rgb_floor_01_pano_2.jpg",
+            "a/pair_3___door_0_0_identity_floor_rgb_floor_01_pano_1.jpg",
+            "a/pair_3___door_0_0_identity_floor_rgb_floor_01_pano_2.jpg",
+        ]
+        tuples = bev_pairs.get_tuples_from_fpath_list(fpaths, 0, cfg)
+        assert len(tuples) == 1
+        fp1, fp2, label = tuples[0]
+        assert "_floor_rgb_" in fp1 and "_floor_rgb_" in fp2
+        assert label == 0
+
+
+class TestMakeDataset:
+    def test_synthetic_tree(self, tmp_path) -> None:
+        """Synthetic directory tree with the reference grammar is discovered."""
+        import cv2
+
+        from salve_tpu.dataset.zind_partition import DATASET_SPLITS
+
+        b = sorted(DATASET_SPLITS["train"])[0]
+        for label_dir in ["gt_alignment_approx", "incorrect_alignment"]:
+            d = tmp_path / label_dir / b
+            d.mkdir(parents=True)
+            for surface in ["ceiling", "floor"]:
+                for pano in [1, 2]:
+                    fp = d / f"pair_0___door_0_0_identity_{surface}_rgb_floor_01_pano_{pano}.jpg"
+                    cv2.imwrite(str(fp), np.zeros((8, 8, 3), np.uint8))
+
+        cfg = TrainingConfig(resize_h=16, resize_w=16)
+        data_list = bev_pairs.make_dataset("train", str(tmp_path), cfg)
+        assert len(data_list) == 2
+        labels = sorted(t[-1] for t in data_list)
+        assert labels == [0, 1]
+
+        ds = bev_pairs.BEVPairDataset("train", cfg, data_root=str(tmp_path), workers=2)
+        imgs, labels_arr, tuples = ds.load_batch([0, 1])
+        assert imgs.shape == (2, 4, 16, 16, 3)
+        assert set(labels_arr.tolist()) == {0, 1}
