@@ -1,0 +1,146 @@
+"""Benchmark: BEV texture-map rendering throughput on one TPU chip.
+
+This is the reference pipeline's dominant cost (Stage B renders ~2 texture
+maps per alignment hypothesis across ~100k hypotheses; the reference burns
+1-2 hours of 20-30 CPU processes on Stage A+B, README.md:104). We measure
+end-to-end pair renders/sec on device — backprojection, frame alignment,
+z-order splat, interpolation, hallucination masking for BOTH panos of a
+pair — against a host-side implementation of the reference's algorithm
+(numpy z-order grid fill + scipy/Qhull griddata + box-filter mask), which
+is what the reference's per-process worker executes per pair.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_synthetic_pano_bank(num_panos: int, h: int = 512, w: int = 1024):
+    """Plausible indoor depth/rgb panos (floor+ceiling planes + walls)."""
+    rng = np.random.default_rng(0)
+    depths = np.zeros((num_panos, h, w), dtype=np.uint16)
+    rgbs = rng.uniform(0, 1, (num_panos, h, w, 3)).astype(np.float32)
+    v = (np.arange(h) + 0.5) / h - 0.5  # [-0.5, 0.5]
+    phi = v * np.pi
+    for p in range(num_panos):
+        cam_h = rng.uniform(1.4, 1.7)
+        ceil_h = rng.uniform(1.0, 1.5)
+        wall_d = rng.uniform(2.0, 5.0, w)
+        # Rays below horizon hit the floor, above hit ceiling, else walls.
+        with np.errstate(divide="ignore"):
+            floor_rho = np.where(np.sin(phi) < -0.05, cam_h / np.maximum(-np.sin(phi), 1e-3), np.inf)
+            ceil_rho = np.where(np.sin(phi) > 0.05, ceil_h / np.maximum(np.sin(phi), 1e-3), np.inf)
+        wall_rho = wall_d[None, :] / np.maximum(np.cos(phi)[:, None], 1e-3)
+        rho = np.minimum(np.minimum(floor_rho[:, None], ceil_rho[:, None]), wall_rho)
+        depths[p] = np.clip(rho * 1000, 0, 65535).astype(np.uint16)
+    return depths, rgbs
+
+
+def bench_tpu(depths, rgbs, batch_size: int = 8, reps: int = 5) -> float:
+    """Batched pair renders/sec on the default JAX device."""
+    from salve_tpu.rendering.bev_pair import render_bev_pairs_batch
+
+    rng = np.random.default_rng(1)
+    n = depths.shape[0]
+    pair_indices = rng.integers(0, n, (batch_size, 2))
+    thetas = rng.uniform(-np.pi, np.pi, batch_size)
+    rotations = np.stack(
+        [
+            np.stack([np.cos(thetas), -np.sin(thetas)], -1),
+            np.stack([np.sin(thetas), np.cos(thetas)], -1),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    translations = rng.uniform(-2, 2, (batch_size, 2)).astype(np.float32)
+
+    # Warmup (compile + uint8-transfer path).
+    render_bev_pairs_batch(depths, rgbs, pair_indices, rotations, translations, "floor")
+
+    t0 = time.time()
+    for _ in range(reps):
+        imgs1, imgs2 = render_bev_pairs_batch(
+            depths, rgbs, pair_indices, rotations, translations, "floor"
+        )
+    dt = (time.time() - t0) / reps
+    return batch_size / dt
+
+
+def bench_reference_host(depths, rgbs, num_pairs: int = 2) -> float:
+    """Reference-equivalent per-pair render on the host CPU (pairs/sec).
+
+    Reproduces the reference worker's inner loop per pano: backproject,
+    prune, z-order slice fill (zorder_utils.py:10), Qhull griddata linear
+    interpolation (interpolation_utils.py:46), box-filter mask.
+    """
+    import scipy.interpolate
+    from scipy.ndimage import uniform_filter
+
+    h, w = depths.shape[1:]
+    v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    theta = -(u + 0.5) / w * 2 * np.pi
+    phi = ((v + 0.5) / h - 0.5) * np.pi
+    rays = np.stack(
+        [np.cos(phi) * np.cos(theta), np.cos(phi) * np.sin(theta), -np.sin(phi)], -1
+    )
+
+    def render_one(depth, rgb):
+        xyz = (depth[..., None].astype(np.float32) * 0.001) * rays
+        crop = int(h * 80 / 512)
+        xyz = xyz[crop:-crop].reshape(-1, 3)
+        colors = rgb[crop:-crop].reshape(-1, 3) * 255
+        keep = xyz[:, 2] <= -1.0
+        xyz, colors = xyz[keep], colors[keep]
+        inb = (np.abs(xyz[:, 0]) <= 5) & (np.abs(xyz[:, 1]) <= 5)
+        xyz, colors = xyz[inb], colors[inb]
+        if xyz.shape[0] < 4:
+            return np.zeros((501, 501, 3), np.uint8)
+        img_xy = np.round((xyz[:, :2] + 5) / 0.02).astype(np.int64)
+        x, y, z = img_xy[:, 0], img_xy[:, 1], xyz[:, 2]
+        # z-order: 4 slices bottom-to-top
+        grid = np.full((501, 501), -1, np.int64)
+        zp = np.linspace(-2, 2, 5)
+        idxs = np.arange(x.shape[0])
+        for k in range(4):
+            ws = (z >= zp[k]) & (z < zp[k + 1])
+            grid[y[ws], x[ws]] = idxs[ws]
+        occ = grid >= 0
+        sparse = np.zeros((501, 501, 3), np.float64)
+        sparse[occ] = colors[grid[occ]]
+        pts = np.stack([x[grid[occ]], y[grid[occ]]], -1)
+        gy, gx = np.meshgrid(np.arange(501), np.arange(501), indexing="ij")
+        interp = scipy.interpolate.griddata(
+            pts, colors[grid[occ]], (gx, gy), method="linear", fill_value=0
+        )
+        support = np.all(sparse > 0, axis=-1).astype(np.float32)
+        counts = uniform_filter(support, size=11, mode="constant")
+        return ((counts > 1e-9)[..., None] * interp).astype(np.uint8)[::-1]
+
+    t0 = time.time()
+    for p in range(num_pairs):
+        render_one(depths[p % depths.shape[0]], rgbs[p % depths.shape[0]])
+        render_one(depths[(p + 1) % depths.shape[0]], rgbs[(p + 1) % depths.shape[0]])
+    dt = (time.time() - t0) / num_pairs
+    return 1.0 / dt
+
+
+def main() -> None:
+    depths, rgbs = make_synthetic_pano_bank(num_panos=8)
+    tpu_pairs_per_sec = bench_tpu(depths, rgbs)
+    ref_pairs_per_sec = bench_reference_host(depths, rgbs)
+    print(
+        json.dumps(
+            {
+                "metric": "bev_pair_renders_per_sec_per_chip",
+                "value": round(tpu_pairs_per_sec, 2),
+                "unit": "pairs/s",
+                "vs_baseline": round(tpu_pairs_per_sec / ref_pairs_per_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""CLI: global pose aggregation from verifier predictions (parity: scripts/run_sfm.py).
+
+Pipeline per (building, floor): parse serialized predictions -> confidence
+threshold -> [optional RANSAC spanning-tree edge filtering] -> most likely
+relative pose per edge -> [optional vanishing-angle alignment] -> [optional
+global/local consistency filtering] -> method dispatch (spanning_tree |
+pgo | pose2_slam | random_spanning_trees | SE2_cycles) -> report.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections import defaultdict
+from pathlib import Path
+from typing import List, Optional
+
+import click
+import numpy as np
+
+from salve_tpu.algorithms import (
+    cycle_consistency,
+    global_local_consistency,
+    pose2_slam,
+    spanning_tree,
+)
+from salve_tpu.common import edge_classification, posegraph2d
+from salve_tpu.common.floor_reconstruction_report import (
+    FloorReconstructionReport,
+    summarize_reports,
+)
+from salve_tpu.common.posegraph2d import PoseGraph2d
+from salve_tpu.dataset import hnet_prediction_loader
+from salve_tpu.utils import axis_alignment
+from salve_tpu.utils.io import save_json_file
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CONFIDENCE_THRESHOLD = 0.93  # scripts/run_sfm.py:617
+
+
+def _empty_report() -> FloorReconstructionReport:
+    return FloorReconstructionReport(
+        avg_abs_rot_err=np.nan,
+        avg_abs_trans_err=np.nan,
+        percent_panos_localized=0.0,
+        floorplan_iou=0.0,
+    )
+
+
+def run_incremental_reconstruction(
+    hypotheses_save_root: str,
+    serialized_preds_json_dir: str,
+    raw_dataset_dir: str,
+    method: str,
+    confidence_threshold: float,
+    use_axis_alignment: bool,
+    allowed_wdo_types: List[str],
+    predictions_data_root: Optional[str],
+    filter_edges_by_global_local_consistency: bool = False,
+    filter_edges_by_random_spanning_trees: bool = False,
+    plot_save_dir: Optional[str] = None,
+) -> List[FloorReconstructionReport]:
+    """Run global optimization for every floor with serialized predictions."""
+    if plot_save_dir is None:
+        wdo_summary = "_".join(allowed_wdo_types)
+        plot_save_dir = (
+            f"{Path(serialized_preds_json_dir).name}___{method}_floorplans_with_conf"
+            f"_{confidence_threshold}_{wdo_summary}_axisaligned{use_axis_alignment}"
+        )
+    os.makedirs(plot_save_dir, exist_ok=True)
+
+    pairs = edge_classification.get_available_floor_ids_building_ids_from_serialized_preds(
+        serialized_preds_json_dir
+    )
+
+    reports: List[FloorReconstructionReport] = []
+    for building_id, floor_id in sorted(pairs):
+        floor_ec_dict = edge_classification.get_edge_classifications_from_serialized_preds(
+            query_building_id=building_id,
+            query_floor_id=floor_id,
+            serialized_preds_json_dir=serialized_preds_json_dir,
+            hypotheses_save_root=hypotheses_save_root,
+            allowed_wdo_types=allowed_wdo_types,
+        )
+        measurements = floor_ec_dict[(building_id, floor_id)]
+        if not measurements:
+            logger.info("Skip %s %s: no measurements.", building_id, floor_id)
+            reports.append(_empty_report())
+            continue
+
+        inferred_floor_pose_graph = None
+        if use_axis_alignment or method == "pose2_slam":
+            inferred_floor_pose_graph = hnet_prediction_loader.load_inferred_floor_pose_graph(
+                building_id=building_id,
+                floor_id=floor_id,
+                raw_dataset_dir=raw_dataset_dir,
+                predictions_data_root=predictions_data_root,
+            )
+        gt_floor_pose_graph = posegraph2d.get_gt_pose_graph(
+            building_id, floor_id, raw_dataset_dir
+        )
+        logger.info("On building %s, %s", building_id, floor_id)
+
+        high_conf_measurements = edge_classification.get_conf_thresholded_edge_measurements(
+            measurements, confidence_threshold
+        )
+        if not high_conf_measurements:
+            logger.info("Skip %s %s: no high-confidence measurements.", building_id, floor_id)
+            reports.append(_empty_report())
+            continue
+
+        if filter_edges_by_random_spanning_trees:
+            _, high_conf_inlier_measurements = spanning_tree.ransac_spanning_trees(
+                high_conf_measurements, num_hypotheses=100,
+                gt_floor_pose_graph=gt_floor_pose_graph,
+            )
+        else:
+            high_conf_inlier_measurements = high_conf_measurements
+
+        (
+            i2Si1_dict,
+            two_view_reports_dict,
+            per_edge_wdo_dict,
+            _,
+        ) = edge_classification.get_most_likely_relative_pose_per_edge(
+            high_conf_inlier_measurements, gt_floor_pose_graph
+        )
+
+        if use_axis_alignment and inferred_floor_pose_graph is not None:
+            i2Si1_dict = axis_alignment.align_pairs_by_vanishing_angle(
+                i2Si1_dict=i2Si1_dict,
+                inferred_floor_pose_graph=inferred_floor_pose_graph,
+                per_edge_wdo_dict=per_edge_wdo_dict,
+            )
+
+        if filter_edges_by_global_local_consistency:
+            i2Si1_dict = global_local_consistency.filter_measurements_by_global_local_consistency(
+                i2Si1_dict=i2Si1_dict,
+                two_view_reports_dict=two_view_reports_dict,
+                max_allowed_deviation_deg=5.0,
+            )
+
+        if method == "spanning_tree":
+            wSi_list = spanning_tree.greedily_construct_st_Sim2(i2Si1_dict, verbose=False)
+
+        elif method in ("pose2_slam", "pgo"):
+            wSi_list = spanning_tree.greedily_construct_st_Sim2(i2Si1_dict, verbose=False)
+            wSi_list = pose2_slam.execute_planar_slam(
+                measurements=high_conf_inlier_measurements,
+                wSi_list=wSi_list,
+                per_edge_wdo_dict=per_edge_wdo_dict,
+                inferred_floor_pose_graph=inferred_floor_pose_graph,
+                optimize_poses_only=(method == "pgo"),
+            )
+
+        elif method == "random_spanning_trees":
+            wSi_list, _ = spanning_tree.ransac_spanning_trees(
+                high_conf_measurements, num_hypotheses=100,
+                gt_floor_pose_graph=gt_floor_pose_graph,
+            )
+
+        elif method == "SE2_cycles":
+            i2Si1_dict = cycle_consistency.filter_to_SE2_cycle_consistent_edges(
+                i2Si1_dict, two_view_reports_dict
+            )
+            if not i2Si1_dict:
+                reports.append(_empty_report())
+                continue
+            wSi_list = spanning_tree.greedily_construct_st_Sim2(i2Si1_dict, verbose=False)
+
+        else:
+            raise RuntimeError(f"Unknown method {method}.")
+
+        if wSi_list is None:
+            reports.append(_empty_report())
+            continue
+
+        est_floor_pose_graph = PoseGraph2d.from_wSi_list(wSi_list, gt_floor_pose_graph)
+        reports.append(
+            FloorReconstructionReport.from_est_floor_pose_graph(
+                est_floor_pose_graph, gt_floor_pose_graph, plot_save_dir=plot_save_dir
+            )
+        )
+
+    summary = summarize_reports(reports)
+    for k, v in summary.items():
+        logger.info("%s = %.3f", k, v)
+    save_json_file(f"{plot_save_dir}/summary.json", summary)
+    return reports
+
+
+@click.command(help="Run SfM using SALVe verifier predictions.")
+@click.option("--serialized_preds_json_dir", type=click.Path(exists=True), required=True,
+              help="Directory where serialized predictions were saved to (from test.py).")
+@click.option("--raw_dataset_dir", type=click.Path(exists=True), required=True,
+              help="Path to where ZInD dataset is stored on disk.")
+@click.option("--hypotheses_save_root", type=click.Path(exists=True), required=True,
+              help="Directory where alignment-hypothesis JSONs were saved.")
+@click.option("--method", required=True,
+              type=click.Choice(["spanning_tree", "SE2_cycles", "filtered_spanning_tree",
+                                 "random_spanning_trees", "pose2_slam", "pgo"]),
+              help="Global aggregation method.")
+@click.option("--mhnet_predictions_data_root", type=click.Path(exists=True), default=None,
+              required=False, help="Path to directory containing MHNet predictions.")
+@click.option("--confidence_threshold", type=float, default=DEFAULT_CONFIDENCE_THRESHOLD,
+              help="Minimum verifier confidence to accept a prediction.")
+@click.option("--use_axis_alignment", type=bool, default=True,
+              help="Refine relative poses by estimated vanishing angles.")
+@click.option("--filter_edges_by_global_local_consistency", type=bool, default=False)
+@click.option("--filter_edges_by_random_spanning_trees", type=bool, default=False)
+def launch_run_incremental_reconstruction(
+    serialized_preds_json_dir,
+    raw_dataset_dir,
+    hypotheses_save_root,
+    method,
+    mhnet_predictions_data_root,
+    confidence_threshold,
+    use_axis_alignment,
+    filter_edges_by_global_local_consistency,
+    filter_edges_by_random_spanning_trees,
+) -> None:
+    logging.basicConfig(level=logging.INFO)
+    run_incremental_reconstruction(
+        hypotheses_save_root=hypotheses_save_root,
+        serialized_preds_json_dir=serialized_preds_json_dir,
+        raw_dataset_dir=raw_dataset_dir,
+        method=method,
+        confidence_threshold=confidence_threshold,
+        use_axis_alignment=use_axis_alignment,
+        allowed_wdo_types=["door", "window", "opening"],
+        predictions_data_root=mhnet_predictions_data_root,
+        filter_edges_by_global_local_consistency=filter_edges_by_global_local_consistency,
+        filter_edges_by_random_spanning_trees=filter_edges_by_random_spanning_trees,
+    )
+
+
+if __name__ == "__main__":
+    launch_run_incremental_reconstruction()
