@@ -1,0 +1,56 @@
+"""CLI: precompute depth maps for all panos (parity: scripts/batch_hohonet_inference.py).
+
+The reference forked one GPU process per building (~4.3 GB each) running
+HoHoNet; here panos stream through the registered JAX depth model on the
+chip, writing the same u16 millimeter PNG cache. Without a registered
+model, already-cached panos are verified and missing ones reported.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+from pathlib import Path
+from typing import Optional
+
+import click
+
+from salve_tpu.dataset.zind_partition import DATASET_SPLITS
+from salve_tpu.depth.cache import depth_fpath_for_pano, infer_depth_if_nonexistent
+
+logger = logging.getLogger(__name__)
+
+
+@click.command(help="Precompute (or verify) monocular depth maps for ZInD panos.")
+@click.option("--raw_dataset_dir", type=click.Path(exists=True), required=True)
+@click.option("--depth_save_root", type=str, required=True)
+@click.option("--split", type=click.Choice(["train", "val", "test"]), default=None)
+@click.option("--building_id", type=str, default=None, required=False)
+@click.option("--num_processes", type=int, default=1, help="Accepted for flag parity.")
+def run_batch_hohonet_inference(
+    raw_dataset_dir: str,
+    depth_save_root: str,
+    split: Optional[str],
+    building_id: Optional[str],
+    num_processes: int,
+) -> None:
+    logging.basicConfig(level=logging.INFO)
+    building_ids = [building_id] if building_id else sorted(DATASET_SPLITS[split])
+
+    num_ok, num_missing = 0, 0
+    for bid in building_ids:
+        img_fpaths = sorted(glob.glob(f"{raw_dataset_dir}/{bid}/panos/*.jpg"))
+        for img_fpath in img_fpaths:
+            try:
+                infer_depth_if_nonexistent(depth_save_root, bid, img_fpath)
+                num_ok += 1
+            except FileNotFoundError:
+                logger.warning(
+                    "No depth model registered and no cache for %s", Path(img_fpath).name
+                )
+                num_missing += 1
+    click.echo(f"Depth maps ready: {num_ok}, missing: {num_missing}")
+
+
+if __name__ == "__main__":
+    run_batch_hohonet_inference()

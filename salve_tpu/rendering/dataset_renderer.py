@@ -1,0 +1,269 @@
+"""Dataset-scale BEV rendering driver (parity: scripts/render_dataset_bev.py).
+
+Where the reference forked one multiprocessing worker per building (or per
+pano pair), here each floor's hypothesis pairs are rendered in device
+batches against a shared on-device pano bank: unique panos are decoded and
+resized once (host thread pool), staged to HBM once, and every hypothesis
+pair / surface type streams through the jitted batch renderer. Output
+files, the filename grammar, and the existence-check resume behavior are
+byte-compatible with the reference.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from salve_tpu.dataset.zind_partition import DATASET_SPLITS
+from salve_tpu.depth.cache import infer_depth_if_nonexistent
+from salve_tpu.geometry.sim2 import Sim2
+from salve_tpu.rendering import bev_pair, layout as layout_render
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_BATCH_SIZE = 8
+
+
+def panoid_from_fpath(fpath: str) -> int:
+    return int(Path(fpath).stem.split("_")[-1])
+
+
+def _pano_fpaths_for_building(raw_dataset_dir: str, building_id: str) -> Dict[int, str]:
+    img_fpaths = glob.glob(f"{raw_dataset_dir}/{building_id}/panos/*.jpg")
+    return {panoid_from_fpath(fp): fp for fp in img_fpaths}
+
+
+def render_building_floor_pairs(
+    depth_save_root: str,
+    bev_save_root: str,
+    hypotheses_save_root: str,
+    raw_dataset_dir: str,
+    building_id: str,
+    floor_id: str,
+    layout_save_root: Optional[str] = None,
+    render_modalities: List[str] = ["rgb_texture"],
+    floor_pose_graph=None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    io_workers: int = 8,
+) -> int:
+    """Render all hypothesis pairs for one building floor. Returns #pairs rendered."""
+    img_fpaths_dict = _pano_fpaths_for_building(raw_dataset_dir, building_id)
+    num_rendered = 0
+
+    for label_type in ["gt_alignment_approx", "incorrect_alignment"]:
+        pair_fpaths = sorted(
+            glob.glob(f"{hypotheses_save_root}/{building_id}/{floor_id}/{label_type}/*.json")
+        )
+        if not pair_fpaths:
+            continue
+
+        if "rgb_texture" in render_modalities:
+            num_rendered += _render_texture_pairs_batched(
+                pair_fpaths,
+                img_fpaths_dict,
+                depth_save_root,
+                bev_save_root,
+                label_type,
+                building_id,
+                batch_size,
+                io_workers,
+            )
+
+        if "layout" in render_modalities and floor_pose_graph is not None:
+            num_rendered += _render_layout_pairs(
+                pair_fpaths,
+                img_fpaths_dict,
+                layout_save_root,
+                label_type,
+                building_id,
+                floor_pose_graph,
+            )
+    return num_rendered
+
+
+def _parse_pair_fpath(pair_fpath: str) -> Tuple[int, int, int, str]:
+    """(pair_idx, i1, i2, pair_uuid) from a hypothesis JSON path."""
+    stem = Path(pair_fpath).stem
+    i1, i2 = (int(x) for x in stem.split("_")[:2])
+    pair_uuid = stem.split("__")[-1]
+    return i1, i2, pair_uuid
+
+
+def _render_texture_pairs_batched(
+    pair_fpaths: List[str],
+    img_fpaths_dict: Dict[int, str],
+    depth_save_root: str,
+    bev_save_root: str,
+    label_type: str,
+    building_id: str,
+    batch_size: int,
+    io_workers: int,
+) -> int:
+    """RGB texture modality: both surfaces, batched on device."""
+    import imageio.v2 as imageio
+
+    building_bev_save_dir = f"{bev_save_root}/{label_type}/{building_id}"
+    os.makedirs(building_bev_save_dir, exist_ok=True)
+
+    # Work items: (pair_idx, fpath, i1, i2, uuid, surface, out1, out2), skipping
+    # pairs whose outputs already exist (resume contract).
+    work = []
+    needed_panos = set()
+    for pair_idx, pair_fpath in enumerate(pair_fpaths):
+        i1, i2, pair_uuid = _parse_pair_fpath(pair_fpath)
+        if i1 not in img_fpaths_dict or i2 not in img_fpaths_dict:
+            continue
+        for surface_type in ["floor", "ceiling"]:
+            fname1 = bev_pair.bev_fname_from_img_fpath(
+                pair_idx, pair_uuid, surface_type, img_fpaths_dict[i1]
+            )
+            fname2 = bev_pair.bev_fname_from_img_fpath(
+                pair_idx, pair_uuid, surface_type, img_fpaths_dict[i2]
+            )
+            out1 = f"{building_bev_save_dir}/{fname1}"
+            out2 = f"{building_bev_save_dir}/{fname2}"
+            if Path(out1).exists() and Path(out2).exists():
+                continue
+            work.append((pair_fpath, i1, i2, surface_type, out1, out2))
+            needed_panos.update([i1, i2])
+    if not work:
+        return 0
+
+    # Stage the pano bank (unique panos only): depth + resized rgb.
+    pano_ids = sorted(needed_panos)
+    id2bank = {pid: k for k, pid in enumerate(pano_ids)}
+
+    def load_pano(pid: int):
+        img_fpath = img_fpaths_dict[pid]
+        depth_fpath = infer_depth_if_nonexistent(depth_save_root, building_id, img_fpath)
+        return bev_pair.load_depth_mm(depth_fpath), bev_pair.load_pano_rgb(img_fpath)
+
+    with ThreadPoolExecutor(max_workers=io_workers) as pool:
+        loaded = list(pool.map(load_pano, pano_ids))
+    depths = np.stack([d for d, _ in loaded])
+    rgbs = np.stack([c for _, c in loaded]).astype(np.float32)
+
+    writer_pool = ThreadPoolExecutor(max_workers=io_workers)
+    count = 0
+    for surface_type in ["floor", "ceiling"]:
+        surf_work = [w for w in work if w[3] == surface_type]
+        for start in range(0, len(surf_work), batch_size):
+            chunk = surf_work[start : start + batch_size]
+            pair_indices = np.array(
+                [[id2bank[w[1]], id2bank[w[2]]] for w in chunk], dtype=np.int32
+            )
+            rotations = np.stack(
+                [Sim2.from_json(w[0]).rotation for w in chunk]
+            ).astype(np.float32)
+            translations = np.stack(
+                [Sim2.from_json(w[0]).translation for w in chunk]
+            ).astype(np.float32)
+
+            imgs1, imgs2 = bev_pair.render_bev_pairs_batch(
+                depths, rgbs, pair_indices, rotations, translations, surface_type
+            )
+            for k, w in enumerate(chunk):
+                writer_pool.submit(imageio.imwrite, w[4], imgs1[k])
+                writer_pool.submit(imageio.imwrite, w[5], imgs2[k])
+            count += len(chunk)
+    writer_pool.shutdown(wait=True)
+    return count
+
+
+def _render_layout_pairs(
+    pair_fpaths: List[str],
+    img_fpaths_dict: Dict[int, str],
+    layout_save_root: str,
+    label_type: str,
+    building_id: str,
+    floor_pose_graph,
+) -> int:
+    """Layout modality: rasterized room layouts ('floor' surface only)."""
+    import imageio.v2 as imageio
+
+    building_layout_save_dir = f"{layout_save_root}/{label_type}/{building_id}"
+    os.makedirs(building_layout_save_dir, exist_ok=True)
+
+    count = 0
+    for pair_idx, pair_fpath in enumerate(pair_fpaths):
+        i1, i2, pair_uuid = _parse_pair_fpath(pair_fpath)
+        if i1 not in floor_pose_graph.nodes or i2 not in floor_pose_graph.nodes:
+            continue
+        if i1 not in img_fpaths_dict or i2 not in img_fpaths_dict:
+            continue
+        fname1 = bev_pair.bev_fname_from_img_fpath(
+            pair_idx, pair_uuid, "floor", img_fpaths_dict[i1]
+        )
+        fname2 = bev_pair.bev_fname_from_img_fpath(
+            pair_idx, pair_uuid, "floor", img_fpaths_dict[i2]
+        )
+        out1 = f"{building_layout_save_dir}/{fname1}"
+        out2 = f"{building_layout_save_dir}/{fname2}"
+        if Path(out1).exists() and Path(out2).exists():
+            continue
+        i2Ti1 = Sim2.from_json(pair_fpath)
+        img1, img2 = layout_render.rasterize_room_layout_pair(
+            i2Ti1, floor_pose_graph.nodes[i1], floor_pose_graph.nodes[i2]
+        )
+        imageio.imwrite(out1, img1)
+        imageio.imwrite(out2, img2)
+        count += 1
+    return count
+
+
+def render_pairs(
+    depth_save_root: str,
+    bev_save_root: str,
+    raw_dataset_dir: str,
+    hypotheses_save_root: str,
+    layout_save_root: Optional[str],
+    render_modalities: List[str],
+    split: Optional[str] = None,
+    building_id: Optional[str] = None,
+    mhnet_predictions_data_root: Optional[str] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> int:
+    """Render all pairs of a split or single building (parity :120)."""
+    from salve_tpu.dataset import hnet_prediction_loader
+
+    if building_id is not None:
+        building_ids = [building_id]
+    else:
+        building_ids = sorted(DATASET_SPLITS[split])
+
+    total = 0
+    for bid in building_ids:
+        floor_dirs = sorted(glob.glob(f"{hypotheses_save_root}/{bid}/floor*"))
+        if not floor_dirs:
+            continue
+
+        floor_pose_graphs = None
+        if "layout" in render_modalities:
+            floor_pose_graphs = hnet_prediction_loader.load_inferred_floor_pose_graphs(
+                building_id=bid,
+                raw_dataset_dir=raw_dataset_dir,
+                predictions_data_root=mhnet_predictions_data_root,
+            )
+
+        for floor_dir in floor_dirs:
+            floor_id = Path(floor_dir).name
+            fpg = floor_pose_graphs.get(floor_id) if floor_pose_graphs else None
+            total += render_building_floor_pairs(
+                depth_save_root=depth_save_root,
+                bev_save_root=bev_save_root,
+                hypotheses_save_root=hypotheses_save_root,
+                raw_dataset_dir=raw_dataset_dir,
+                building_id=bid,
+                floor_id=floor_id,
+                layout_save_root=layout_save_root,
+                render_modalities=render_modalities,
+                floor_pose_graph=fpg,
+                batch_size=batch_size,
+            )
+    return total

@@ -1,0 +1,54 @@
+"""Top-down canvas rendering of shapes/cameras (parity: salve/stitching/draw.py)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from salve_tpu.stitching.models import Point2d, Pose
+from salve_tpu.stitching import transform as transform_utils
+
+TANGO_COLOR_PALETTE = [
+    [252, 233, 79], [237, 212, 0], [196, 160, 0], [252, 175, 62],
+    [245, 121, 0], [206, 92, 0], [233, 185, 110], [193, 125, 17],
+    [143, 89, 2], [138, 226, 52], [115, 210, 22], [78, 154, 6],
+    [114, 159, 207], [52, 101, 164], [32, 74, 135], [173, 127, 168],
+    [117, 80, 123], [92, 53, 102], [239, 41, 41], [204, 0, 0],
+    [164, 0, 0], [136, 138, 133], [85, 87, 83], [46, 52, 54],
+]
+
+
+def _to_global(shape: List[Point2d], pose: Optional[Pose]) -> np.ndarray:
+    if pose is not None:
+        shape = [transform_utils.transform_xy_by_pose(p, pose) for p in shape]
+    return np.array([[p.x, p.y] for p in shape])
+
+
+def draw_shape_in_top_down_canvas(
+    axis, shape: List[Point2d], color: str, pose: Optional[Pose] = None
+) -> None:
+    """Draw a boundary polyline (closed) on a matplotlib axis."""
+    arr = _to_global(shape, pose)
+    arr = np.vstack([arr, arr[:1]])
+    axis.plot(arr[:, 0], arr[:, 1], color=color, linewidth=1)
+
+
+def draw_shape_in_top_down_canvas_fill(
+    axis, shape: List[Point2d], color, pose: Optional[Pose] = None
+) -> None:
+    """Draw a filled room shape on a matplotlib axis."""
+    arr = _to_global(shape, pose)
+    axis.fill(arr[:, 0], arr[:, 1], color=color, alpha=0.6)
+
+
+def draw_camera_in_top_down_canvas(axis, pose: Pose, color: str, size: int = 20) -> None:
+    axis.scatter(pose.position.x, pose.position.y, s=size, color=color, marker="o")
+
+
+def draw_dwo_in_top_down_canvas(
+    axis, xy_from: Point2d, xy_to: Point2d, color: str, pose: Optional[Pose] = None
+) -> None:
+    pts = [xy_from, xy_to]
+    arr = _to_global(pts, pose)
+    axis.plot(arr[:, 0], arr[:, 1], color=color, linewidth=3)

@@ -1,0 +1,110 @@
+"""Integration test: dataset-scale BEV rendering on a synthetic building."""
+
+import glob
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from salve_tpu.geometry.sim2 import Sim2
+from salve_tpu.rendering.dataset_renderer import render_building_floor_pairs
+
+
+@pytest.fixture()
+def synthetic_building(tmp_path):
+    """Fake ZInD building: 2 panos + depth cache + 1 hypothesis pair."""
+    import imageio.v2 as imageio
+
+    bid, floor_id = "9999", "floor_01"
+    pano_dir = tmp_path / "zind" / bid / "panos"
+    pano_dir.mkdir(parents=True)
+    depth_dir = tmp_path / "depth" / bid
+    depth_dir.mkdir(parents=True)
+
+    rng = np.random.default_rng(0)
+    for i in [3, 5]:
+        stem = f"{floor_id}_partial_room_01_pano_{i}"
+        rgb = rng.integers(0, 255, (1024, 2048, 3), dtype=np.uint8)
+        imageio.imwrite(str(pano_dir / f"{stem}.jpg"), rgb)
+        depth = rng.integers(1500, 4000, (512, 1024)).astype(np.uint16)
+        imageio.imwrite(str(depth_dir / f"{stem}.depth.png"), depth)
+
+    hyp_dir = tmp_path / "hyp" / bid / floor_id / "gt_alignment_approx"
+    hyp_dir.mkdir(parents=True)
+    Sim2.from_theta_deg(15.0, np.array([0.5, -0.3])).save_as_json(
+        str(hyp_dir / "3_5__door_0_0_identity.json")
+    )
+    return {
+        "raw_dataset_dir": str(tmp_path / "zind"),
+        "depth_save_root": str(tmp_path / "depth"),
+        "hypotheses_save_root": str(tmp_path / "hyp"),
+        "bev_save_root": str(tmp_path / "bev"),
+        "building_id": bid,
+        "floor_id": floor_id,
+    }
+
+
+class TestRenderBuildingFloorPairs:
+    def test_renders_and_resumes(self, synthetic_building) -> None:
+        import imageio.v2 as imageio
+
+        sb = synthetic_building
+        n = render_building_floor_pairs(
+            depth_save_root=sb["depth_save_root"],
+            bev_save_root=sb["bev_save_root"],
+            hypotheses_save_root=sb["hypotheses_save_root"],
+            raw_dataset_dir=sb["raw_dataset_dir"],
+            building_id=sb["building_id"],
+            floor_id=sb["floor_id"],
+        )
+        # 1 hypothesis x 2 surfaces
+        assert n == 2
+        out_files = sorted(
+            glob.glob(f"{sb['bev_save_root']}/gt_alignment_approx/9999/*.jpg")
+        )
+        assert len(out_files) == 4  # 2 surfaces x 2 panos
+        # Filename grammar round-trips through the Stage C discovery parser.
+        from salve_tpu.dataset.bev_pairs import pair_idx_from_fpath, pano_id_from_fpath
+
+        assert pair_idx_from_fpath(out_files[0]) == 0
+        assert {pano_id_from_fpath(f) for f in out_files} == {3, 5}
+        img = imageio.imread(out_files[0])
+        assert img.shape == (501, 501, 3)
+        assert img.sum() > 0
+
+        # Second run: everything cached -> zero new renders.
+        n2 = render_building_floor_pairs(
+            depth_save_root=sb["depth_save_root"],
+            bev_save_root=sb["bev_save_root"],
+            hypotheses_save_root=sb["hypotheses_save_root"],
+            raw_dataset_dir=sb["raw_dataset_dir"],
+            building_id=sb["building_id"],
+            floor_id=sb["floor_id"],
+        )
+        assert n2 == 0
+
+
+class TestDepthCache:
+    def test_missing_cache_raises_without_model(self, tmp_path) -> None:
+        from salve_tpu.depth.cache import infer_depth_if_nonexistent
+
+        with pytest.raises(FileNotFoundError):
+            infer_depth_if_nonexistent(str(tmp_path), "0000", "floor_01_pano_3.jpg")
+
+    def test_registered_model_fills_cache(self, tmp_path) -> None:
+        import imageio.v2 as imageio
+
+        from salve_tpu.depth import cache
+
+        img_fpath = tmp_path / "floor_01_partial_room_01_pano_7.jpg"
+        imageio.imwrite(
+            str(img_fpath), np.zeros((1024, 2048, 3), dtype=np.uint8)
+        )
+        cache.register_depth_model(lambda rgb: np.full((512, 1024), 2.5))
+        try:
+            out = cache.infer_depth_if_nonexistent(str(tmp_path / "d"), "0000", str(img_fpath))
+            depth = imageio.imread(out)
+            assert depth.dtype == np.uint16
+            assert (depth == 2500).all()
+        finally:
+            cache.register_depth_model(None)
