@@ -154,12 +154,41 @@ class BEVPairDataset:
         return np.stack(imgs).astype(np.float32), label
 
     def load_batch(self, indices: Sequence[int]) -> Tuple[np.ndarray, np.ndarray, List[Tuple]]:
-        """Returns (imgs (B,N,H,W,3) f32, labels (B,) i32, tuples)."""
+        """Returns (imgs (B,N,H,W,3) f32, labels (B,) i32, tuples).
+
+        Uses the native C++ libjpeg thread-pool loader when available
+        (salve_tpu.native), falling back to cv2 in Python threads.
+        """
         tuples = [self.data_list[i] for i in indices]
+        labels = np.array([t[-1] for t in tuples], dtype=np.int32)
+
+        native_imgs = self._load_batch_native(tuples)
+        if native_imgs is not None:
+            return native_imgs, labels, tuples
+
         results = list(self._pool.map(self._load_one, tuples))
         imgs = np.stack([r[0] for r in results])
-        labels = np.array([r[1] for r in results], dtype=np.int32)
         return imgs, labels, tuples
+
+    def _load_batch_native(self, tuples: List[Tuple]) -> "np.ndarray | None":
+        """Flat batched decode via the native loader; None if unavailable."""
+        try:
+            from salve_tpu.native.loader import (
+                decode_resize_batch,
+                native_loader_available,
+            )
+        except ImportError:
+            return None
+        if not native_loader_available():
+            return None
+        n_imgs = len(tuples[0]) - 1
+        flat_paths = [fp for t in tuples for fp in t[:-1]]
+        imgs, ok = decode_resize_batch(
+            flat_paths, self.args.resize_h, self.args.resize_w
+        )
+        if not ok.all():
+            return None  # fall back (e.g. non-JPEG inputs)
+        return imgs.reshape(len(tuples), n_imgs, self.args.resize_h, self.args.resize_w, 3)
 
     def iter_batches(
         self, batch_size: int, shuffle: bool, seed: int = 0, drop_last: bool = False
