@@ -81,6 +81,26 @@ def export_single_building_wdo_alignment_hypotheses(
             pano_dict_inferred = floor_pose_graphs[floor_id].nodes
 
         pano_ids = sorted(pano_dict.keys())
+
+        # Pre-compute the floor's full hypothesis product on device
+        # (inferred mode only; GT mode needs the host freespace check).
+        batched_hypotheses = {}
+        if use_inferred_wdos_layout:
+            from salve_tpu.hypotheses.batched import align_floor_pairs_batched
+
+            floor_pairs = [
+                (i1, i2)
+                for i1 in pano_ids
+                for i2 in pano_ids
+                if i1 < i2
+                and not (building_id == "0006" and 7 in (i1, i2))
+                and i1 in pano_dict_inferred
+                and i2 in pano_dict_inferred
+            ]
+            batched_hypotheses = align_floor_pairs_batched(
+                pano_dict_inferred, floor_pairs, use_inferred_wdos_layout=True
+            )
+
         n_valid = n_invalid = 0
         for i1 in pano_ids:
             for i2 in pano_ids:
@@ -100,12 +120,18 @@ def export_single_building_wdo_alignment_hypotheses(
                             raise ValueError(
                                 f"MHNet predictions for pano {i} are missing for Building {building_id}."
                             )
-                    hypotheses, num_invalid = wdo_alignment.align_rooms_by_wd(
-                        pano_dict_inferred[i1],
-                        pano_dict_inferred[i2],
-                        transform_type=AlignTransformType.SE2,
-                        use_inferred_wdos_layout=True,
-                    )
+                    # Inferred mode is the production path: the whole floor's
+                    # (pair x wdo x wdo x config) product was pre-computed in
+                    # one device call (see below); look up this pair's slice.
+                    hypotheses = batched_hypotheses.get((i1, i2))
+                    if hypotheses is None:
+                        hypotheses, _ = wdo_alignment.align_rooms_by_wd(
+                            pano_dict_inferred[i1],
+                            pano_dict_inferred[i2],
+                            transform_type=AlignTransformType.SE2,
+                            use_inferred_wdos_layout=True,
+                        )
+                    num_invalid = 0
                 else:
                     hypotheses, num_invalid = wdo_alignment.align_rooms_by_wd(
                         pano_dict[i1],

@@ -122,6 +122,38 @@ def render_bev_pair(
     return np.asarray(img1), np.asarray(img2)
 
 
+def render_bev_pairs_batch_device(
+    depths,
+    rgbs,
+    pair_indices: np.ndarray,
+    rotations: np.ndarray,
+    translations: np.ndarray,
+    surface_type: str,
+    cfg: BEVRenderConfig = BEVRenderConfig(),
+):
+    """Device-side batch render: returns (imgs1, imgs2) as DEVICE arrays.
+
+    Dispatch is asynchronous — callers can overlap the device->host fetch of
+    batch k with the compute of batch k+1 (see dataset_renderer).
+    `depths`/`rgbs` may be pre-staged jnp arrays (preferred: upload once).
+    """
+    z_range = _z_range_for_surface(surface_type)
+    d = jnp.asarray(depths)
+    c = jnp.asarray(rgbs)
+    i1 = jnp.asarray(pair_indices[:, 0])
+    i2 = jnp.asarray(pair_indices[:, 1])
+    return _render_pairs_batched(
+        d[i1],
+        c[i1],
+        d[i2],
+        c[i2],
+        jnp.asarray(rotations.astype(np.float32)),
+        jnp.asarray(translations.astype(np.float32)),
+        z_range,
+        cfg,
+    )
+
+
 def render_bev_pairs_batch(
     depths: np.ndarray,
     rgbs: np.ndarray,
@@ -144,20 +176,8 @@ def render_bev_pairs_batch(
     Returns:
         (imgs1, imgs2): (B,H,W,3) uint8 texture maps.
     """
-    z_range = _z_range_for_surface(surface_type)
-    d = jnp.asarray(depths)
-    c = jnp.asarray(rgbs)
-    i1 = jnp.asarray(pair_indices[:, 0])
-    i2 = jnp.asarray(pair_indices[:, 1])
-    imgs1, imgs2 = _render_pairs_batched(
-        d[i1],
-        c[i1],
-        d[i2],
-        c[i2],
-        jnp.asarray(rotations.astype(np.float32)),
-        jnp.asarray(translations.astype(np.float32)),
-        z_range,
-        cfg,
+    imgs1, imgs2 = render_bev_pairs_batch_device(
+        depths, rgbs, pair_indices, rotations, translations, surface_type, cfg
     )
     return np.asarray(imgs1), np.asarray(imgs2)
 

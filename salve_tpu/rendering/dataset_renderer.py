@@ -149,8 +149,27 @@ def _render_texture_pairs_batched(
     depths = np.stack([d for d, _ in loaded])
     rgbs = np.stack([c for _, c in loaded]).astype(np.float32)
 
+    # Stage the bank on device ONCE; per-batch uploads are then just the
+    # (B,2) indices and (B,2,2)/(B,2) poses.
+    import jax.numpy as jnp
+
+    depths_d = jnp.asarray(depths)
+    rgbs_d = jnp.asarray(rgbs)
+
     writer_pool = ThreadPoolExecutor(max_workers=io_workers)
     count = 0
+
+    def flush(pending):
+        """Fetch a dispatched device batch and queue its JPG writes."""
+        chunk, imgs1_d, imgs2_d = pending
+        imgs1, imgs2 = np.asarray(imgs1_d), np.asarray(imgs2_d)
+        for k, w in enumerate(chunk):
+            writer_pool.submit(imageio.imwrite, w[4], imgs1[k])
+            writer_pool.submit(imageio.imwrite, w[5], imgs2[k])
+
+    # One-batch lookahead: batch k's device->host transfer overlaps batch
+    # k+1's on-device render (JAX dispatch is asynchronous).
+    pending = None
     for surface_type in ["floor", "ceiling"]:
         surf_work = [w for w in work if w[3] == surface_type]
         for start in range(0, len(surf_work), batch_size):
@@ -165,13 +184,15 @@ def _render_texture_pairs_batched(
                 [Sim2.from_json(w[0]).translation for w in chunk]
             ).astype(np.float32)
 
-            imgs1, imgs2 = bev_pair.render_bev_pairs_batch(
-                depths, rgbs, pair_indices, rotations, translations, surface_type
+            imgs1_d, imgs2_d = bev_pair.render_bev_pairs_batch_device(
+                depths_d, rgbs_d, pair_indices, rotations, translations, surface_type
             )
-            for k, w in enumerate(chunk):
-                writer_pool.submit(imageio.imwrite, w[4], imgs1[k])
-                writer_pool.submit(imageio.imwrite, w[5], imgs2[k])
+            if pending is not None:
+                flush(pending)
+            pending = (chunk, imgs1_d, imgs2_d)
             count += len(chunk)
+    if pending is not None:
+        flush(pending)
     writer_pool.shutdown(wait=True)
     return count
 
