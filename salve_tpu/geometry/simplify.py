@@ -12,7 +12,8 @@ def _perpendicular_distances(points: np.ndarray, start: np.ndarray, end: np.ndar
     if norm == 0:
         return np.linalg.norm(points - start, axis=1)
     # 2D cross-product magnitude / segment length.
-    return np.abs(np.cross(d, points - start)) / norm
+    rel = points - start
+    return np.abs(d[0] * rel[:, 1] - d[1] * rel[:, 0]) / norm
 
 
 def rdp(points: np.ndarray, epsilon: float) -> np.ndarray:
