@@ -1,0 +1,143 @@
+"""Fused Stage B+C inference: render and verify hypotheses on device.
+
+For each hypothesis batch: render ceiling+floor texture-map pairs from the
+HBM-resident pano bank, quantize to the uint8 domain the verifier was
+trained on (JPG-decoded renders), resize to the eval resolution, and score
+with the early-fusion CNN — all inside one dispatch chain, with no JPG
+write/read and no host round trip of images. Output is the same
+per-hypothesis (y_hat, prob) record Stage D consumes.
+
+This has no reference analog: the reference materializes ~half a million
+500x500 JPGs between Stage B and Stage C even at inference time
+(scripts/render_dataset_bev.py -> scripts/test.py). The filesystem contract
+remains available via the per-stage CLIs for training-data generation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salve_tpu.geometry.sim2 import Sim2
+from salve_tpu.rendering.bev_pair import BEVRenderConfig, _render_pairs_batched
+from salve_tpu.training import transforms
+from salve_tpu.training.config import TrainingConfig
+
+
+class ScoredHypothesis(NamedTuple):
+    """Verifier verdict for one alignment hypothesis."""
+
+    i1: int
+    i2: int
+    wdo_pair_uuid: str
+    configuration: str
+    y_hat: int
+    prob: float  # probability of the predicted class
+
+
+def _resize_imgs(imgs: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """(B, H, W, 3) bilinear resize."""
+    b = imgs.shape[0]
+    return jax.image.resize(imgs, (b, out_h, out_w, 3), method="linear")
+
+
+def make_fused_score_fn(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig):
+    """Build the jitted fused (render -> preprocess -> verify) batch fn.
+
+    The verifier must use modalities (ceiling_rgb_texture, floor_rgb_texture)
+    — the 4-image early-fusion configuration.
+    """
+    if set(cfg.modalities) != {"ceiling_rgb_texture", "floor_rgb_texture"}:
+        raise ValueError("Fused inference supports the ceiling+floor RGB verifier.")
+
+    @jax.jit
+    def score_batch(params, batch_stats, depths, rgbs, i1_idx, i2_idx, rotations, translations):
+        d1, c1 = depths[i1_idx], rgbs[i1_idx]
+        d2, c2 = depths[i2_idx], rgbs[i2_idx]
+
+        ceil1, ceil2 = _render_pairs_batched(
+            d1, c1, d2, c2, rotations, translations, (0.5, jnp.inf), render_cfg
+        )
+        floor1, floor2 = _render_pairs_batched(
+            d1, c1, d2, c2, rotations, translations, (-jnp.inf, -1.0), render_cfg
+        )
+
+        # uint8 -> float: match the training-data domain (quantized renders).
+        imgs = [
+            _resize_imgs(x.astype(jnp.float32), cfg.resize_h, cfg.resize_w)
+            for x in (ceil1, ceil2, floor1, floor2)
+        ]
+        batch = jnp.stack(imgs, axis=1)  # (B, 4, resize_h, resize_w, 3)
+        batch = transforms.preprocess_eval(batch, cfg.train_h, cfg.train_w)
+
+        logits = state.apply_fn(
+            {"params": params, "batch_stats": batch_stats},
+            [batch[:, i] for i in range(4)],
+            train=False,
+        )
+        probs = jax.nn.softmax(logits, axis=1)
+        y_hat = jnp.argmax(logits, axis=1)
+        return y_hat, probs[jnp.arange(probs.shape[0]), y_hat]
+
+    return score_batch
+
+
+def score_floor_hypotheses(
+    state,
+    cfg: TrainingConfig,
+    depths: np.ndarray,
+    rgbs: np.ndarray,
+    pano_id_to_bank_row: Dict[int, int],
+    hypotheses: List[Tuple[int, int, object]],
+    batch_size: int = 8,
+    render_cfg: BEVRenderConfig = BEVRenderConfig(),
+) -> List[ScoredHypothesis]:
+    """Score every (i1, i2, AlignmentHypothesis) of a floor on device.
+
+    Args:
+        state: trained verifier TrainState (params + batch_stats).
+        depths: (P,512,1024) depth bank; rgbs: (P,512,1024,3) in [0,1].
+        pano_id_to_bank_row: pano ID -> bank row.
+        hypotheses: (i1, i2, AlignmentHypothesis) triples.
+        batch_size: hypotheses per device batch.
+    """
+    score_batch = make_fused_score_fn(state, cfg, render_cfg)
+    depths_d = jnp.asarray(depths)
+    rgbs_d = jnp.asarray(rgbs)
+
+    results: List[ScoredHypothesis] = []
+    for start in range(0, len(hypotheses), batch_size):
+        chunk = hypotheses[start : start + batch_size]
+        pad = batch_size - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad
+
+        i1_idx = jnp.asarray([pano_id_to_bank_row[h[0]] for h in chunk_p])
+        i2_idx = jnp.asarray([pano_id_to_bank_row[h[1]] for h in chunk_p])
+        rotations = jnp.asarray(
+            np.stack([h[2].i2Ti1.rotation for h in chunk_p]).astype(np.float32)
+        )
+        translations = jnp.asarray(
+            np.stack([h[2].i2Ti1.translation for h in chunk_p]).astype(np.float32)
+        )
+
+        y_hat, prob = score_batch(
+            state.params, state.batch_stats, depths_d, rgbs_d,
+            i1_idx, i2_idx, rotations, translations,
+        )
+        y_hat, prob = np.asarray(y_hat), np.asarray(prob)
+        for k, (i1, i2, ah) in enumerate(chunk):
+            results.append(
+                ScoredHypothesis(
+                    i1=i1,
+                    i2=i2,
+                    wdo_pair_uuid=f"{ah.wdo_alignment_object}_{ah.i1_wdo_idx}_{ah.i2_wdo_idx}",
+                    configuration=ah.configuration,
+                    y_hat=int(y_hat[k]),
+                    prob=float(prob[k]),
+                )
+            )
+    return results
