@@ -39,7 +39,7 @@ def make_synthetic_pano_bank(num_panos: int, h: int = 512, w: int = 1024):
     return depths, rgbs
 
 
-def bench_tpu(depths, rgbs, batch_size: int = 8, reps: int = 6) -> float:
+def bench_tpu(depths, rgbs, batch_size: int = 32, reps: int = 6) -> float:
     """Pipelined pair renders/sec on the default JAX device.
 
     The pano bank is staged to HBM once; batch k's device->host fetch

@@ -51,17 +51,79 @@ FILL_ITERS = 6
 
 
 def _box_counts(occ: jnp.ndarray, k: int) -> jnp.ndarray:
-    """KxK box-filter of a (H,W) float map via two separable 1D convs."""
+    """KxK box-filter of a (..., H, W) float map via two separable 1D convs.
+
+    Leading dims fold into the convolution batch dimension, so batched maps
+    cost one conv, not one conv per map.
+    """
     kernel = jnp.ones((k,), dtype=jnp.float32)
-    # Separable: conv rows then columns. Use conv_general_dilated on (1,1,H,W).
-    x = occ[None, None, :, :]
+    lead = occ.shape[:-2]
+    h, w = occ.shape[-2:]
+    x = occ.reshape((-1, 1, h, w))
     x = jax.lax.conv_general_dilated(
         x, kernel[None, None, :, None], (1, 1), [(k // 2, k // 2), (0, 0)]
     )
     x = jax.lax.conv_general_dilated(
         x, kernel[None, None, None, :], (1, 1), [(0, 0), (k // 2, k // 2)]
     )
-    return x[0, 0]
+    return x.reshape(lead + (h, w))
+
+
+def splat_zorder_batched(
+    xy_img: jnp.ndarray,
+    z: jnp.ndarray,
+    rgb: jnp.ndarray,
+    valid: jnp.ndarray,
+    img_h: int,
+    img_w: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched z-order splat: (B,N) points -> (B,H,W) grids in ONE scatter.
+
+    vmapping a scatter makes XLA serialize it per batch element; instead the
+    batch is folded into the cell index (cell + b*H*W) so the whole batch is
+    a single flat scatter-max — the standard TPU batched-scatter idiom.
+
+    Priority within a cell is (z_bin, point_index) lexicographic, matching
+    the reference's slice-by-slice overwrite order exactly
+    (salve/utils/zorder_utils.py:10).
+
+    Args:
+        xy_img: (B,N,2) integer pixel coordinates (x, y).
+        z: (B,N) z-coordinates (meters).
+        rgb: (B,N,3) float colors.
+        valid: (B,N) bool — invalid points are dropped.
+
+    Returns:
+        sparse_img: (B,H,W,3) float colors, 0 where empty.
+        occupied: (B,H,W) bool occupancy.
+    """
+    b, n = z.shape
+    x, y = xy_img[..., 0], xy_img[..., 1]
+
+    in_bounds = (x >= 0) & (x < img_w) & (y >= 0) & (y < img_h)
+    z_bin = jnp.floor((z - ZMIN) / (ZMAX - ZMIN) * NUM_Z_SLICES).astype(jnp.int32)
+    in_zrange = (z >= ZMIN) & (z < ZMAX)
+    ok = valid & in_bounds & in_zrange
+
+    key = z_bin * n + jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    hw = img_h * img_w
+    b_off = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0) * hw
+    cell = jnp.where(ok, y * img_w + x + b_off, b * hw)  # out-of-range -> dropped
+
+    grid = jnp.full((b * hw,), -1, dtype=jnp.int32)
+    grid = grid.at[cell.reshape(-1)].max(
+        jnp.where(ok, key, -1).reshape(-1), mode="drop"
+    )
+    grid = grid.reshape(b, hw)
+
+    occupied = grid >= 0
+    winner = jnp.where(occupied, grid % n, 0)  # (B, HW)
+    sparse = jnp.where(
+        occupied[..., None],
+        jnp.take_along_axis(rgb, winner[..., None], axis=1),
+        0.0,
+    )
+    return sparse.reshape(b, img_h, img_w, 3), occupied.reshape(b, img_h, img_w)
 
 
 def splat_zorder(
@@ -72,40 +134,11 @@ def splat_zorder(
     img_h: int,
     img_w: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter points into a BEV grid keeping the most elevated per cell.
-
-    Priority within a cell is (z_bin, point_index) lexicographic, matching
-    the reference's slice-by-slice overwrite order exactly.
-
-    Args:
-        xy_img: (N,2) integer pixel coordinates (x, y).
-        z: (N,) z-coordinates (meters).
-        rgb: (N,3) float colors.
-        valid: (N,) bool — invalid points are dropped.
-        img_h, img_w: grid dimensions.
-
-    Returns:
-        sparse_img: (H,W,3) float colors, 0 where empty.
-        occupied: (H,W) bool occupancy.
-    """
-    n = xy_img.shape[0]
-    x, y = xy_img[:, 0], xy_img[:, 1]
-
-    in_bounds = (x >= 0) & (x < img_w) & (y >= 0) & (y < img_h)
-    z_bin = jnp.floor((z - ZMIN) / (ZMAX - ZMIN) * NUM_Z_SLICES).astype(jnp.int32)
-    in_zrange = (z >= ZMIN) & (z < ZMAX)
-    ok = valid & in_bounds & in_zrange
-
-    key = z_bin * n + jnp.arange(n, dtype=jnp.int32)
-    cell = jnp.where(ok, y * img_w + x, img_h * img_w)  # out-of-range -> dropped
-
-    grid = jnp.full((img_h * img_w,), -1, dtype=jnp.int32)
-    grid = grid.at[cell].max(jnp.where(ok, key, -1), mode="drop")
-
-    occupied = grid >= 0
-    winner = jnp.where(occupied, grid % n, 0)
-    sparse = jnp.where(occupied[:, None], rgb[winner], 0.0)
-    return sparse.reshape(img_h, img_w, 3), occupied.reshape(img_h, img_w)
+    """Single-cloud z-order splat ((N,...) -> (H,W,...)); see the batched form."""
+    sparse, occupied = splat_zorder_batched(
+        xy_img[None], z[None], rgb[None], valid[None], img_h, img_w
+    )
+    return sparse[0], occupied[0]
 
 
 def fill_holes(
@@ -115,6 +148,7 @@ def fill_holes(
 
     Each iteration assigns empty cells the 3x3 box average of already-filled
     neighbors. `iters` rounds fill holes up to `iters` pixels from support.
+    Accepts (..., H, W, 3) images with (..., H, W) occupancy (batched).
     """
     img = sparse_img
     occ = occupied.astype(jnp.float32)
@@ -152,8 +186,8 @@ def nearest_fill(
             for dx in (-1, 0, 1):
                 if dx == 0 and dy == 0:
                     continue
-                sh_img = jnp.roll(jnp.roll(img, dy, 0), dx, 1)
-                sh_occ = jnp.roll(jnp.roll(occ, dy, 0), dx, 1)
+                sh_img = jnp.roll(jnp.roll(img, dy, -3), dx, -2)
+                sh_occ = jnp.roll(jnp.roll(occ, dy, -2), dx, -1)
                 take = (~best_occ) & sh_occ
                 best = jnp.where(take[..., None], sh_img, best)
                 best_occ = best_occ | sh_occ
@@ -166,7 +200,7 @@ def nearest_fill(
 def hallucination_mask(
     sparse_img_u8: jnp.ndarray, k: int = DEFAULT_MASK_KERNEL
 ) -> jnp.ndarray:
-    """(H,W) bool mask of cells with >=1 support pixel in a KxK neighborhood.
+    """(..., H, W) bool mask of cells with >=1 support in a KxK neighborhood.
 
     Support = all three channels nonzero in the quantized sparse image
     (parity with interpolation_utils.py:95-99, including the all-channels
@@ -180,7 +214,7 @@ def hallucination_mask(
 @functools.partial(
     jax.jit, static_argnames=("img_px", "meters_per_px", "is_semantics")
 )
-def render_bev_image(
+def render_bev_images_batched(
     xyz: jnp.ndarray,
     rgb: jnp.ndarray,
     valid: jnp.ndarray,
@@ -188,22 +222,23 @@ def render_bev_image(
     meters_per_px: float = DEFAULT_METERS_PER_PX,
     is_semantics: bool = False,
 ) -> jnp.ndarray:
-    """Full BEV texture-map render of one colored point cloud.
+    """Batched BEV texture-map render: (B,N) clouds -> (B,H,W,3) uint8.
 
     Mirrors salve/utils/bev_rendering_utils.py:254 (render_bev_image):
     bbox prune -> world->image Sim2 -> z-order splat -> interpolate ->
-    hallucination mask -> vertical flip. Returns (H,W,3) uint8.
+    hallucination mask -> vertical flip. Natively batched (single flat
+    scatter + batched convs) — do NOT vmap this; pass the batch in.
     """
     img_h = img_w = img_px + 1
     half_m = int((img_px / 2) * meters_per_px)
 
-    xy = xyz[:, :2]
-    z = xyz[:, 2]
+    xy = xyz[..., :2]
+    z = xyz[..., 2]
     inside = (
-        (xy[:, 0] >= -half_m)
-        & (xy[:, 0] <= half_m)
-        & (xy[:, 1] >= -half_m)
-        & (xy[:, 1] <= half_m)
+        (xy[..., 0] >= -half_m)
+        & (xy[..., 0] <= half_m)
+        & (xy[..., 1] >= -half_m)
+        & (xy[..., 1] <= half_m)
     )
     valid = valid & inside
 
@@ -211,7 +246,7 @@ def render_bev_image(
     xy_img = jnp.round((xy + half_m) / meters_per_px).astype(jnp.int32)
 
     rgb255 = rgb * 255.0
-    sparse, occupied = splat_zorder(xy_img, z, rgb255, valid, img_h, img_w)
+    sparse, occupied = splat_zorder_batched(xy_img, z, rgb255, valid, img_h, img_w)
 
     if is_semantics:
         interp = nearest_fill(sparse, occupied)
@@ -223,7 +258,21 @@ def render_bev_image(
 
     out = jnp.where(mask[..., None], interp, 0.0)
     out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
-    return out[::-1]  # flipud, as in the reference
+    return out[:, ::-1]  # flipud, as in the reference
+
+
+def render_bev_image(
+    xyz: jnp.ndarray,
+    rgb: jnp.ndarray,
+    valid: jnp.ndarray,
+    img_px: int = DEFAULT_BEV_IMG_PX,
+    meters_per_px: float = DEFAULT_METERS_PER_PX,
+    is_semantics: bool = False,
+) -> jnp.ndarray:
+    """Single-cloud render ((N,...) -> (H,W,3) uint8); see the batched form."""
+    return render_bev_images_batched(
+        xyz[None], rgb[None], valid[None], img_px, meters_per_px, is_semantics
+    )[0]
 
 
 def make_bevimg_Sim2_world(

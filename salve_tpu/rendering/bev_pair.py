@@ -10,6 +10,7 @@ building; here a batch of pairs is one device launch.
 
 from __future__ import annotations
 
+import functools
 import os
 from pathlib import Path
 from typing import Dict, List, NamedTuple, Optional, Tuple
@@ -59,33 +60,56 @@ def _render_pair_device(
     cfg: BEVRenderConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-pair BEV render; all-device, static shapes."""
-    xyz1, c1, v1 = bp.backproject_depth(depth1, rgb1, z_range, cfg.crop_ratio)
-    xyz2, c2, v2 = bp.backproject_depth(depth2, rgb2, z_range, cfg.crop_ratio)
+    img1, img2 = _render_pairs_batched(
+        depth1[None], rgb1[None], depth2[None], rgb2[None],
+        i2Ri1[None], i2ti1[None], z_range, cfg,
+    )
+    return img1[0], img2[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_pairs_batched(
+    depth1: jnp.ndarray,
+    rgb1: jnp.ndarray,
+    depth2: jnp.ndarray,
+    rgb2: jnp.ndarray,
+    i2Ri1: jnp.ndarray,
+    i2ti1: jnp.ndarray,
+    z_range: Tuple[float, float],
+    cfg: BEVRenderConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Natively batched pair render: (B,H,W) depths -> (B,h,w,3) uint8 x2.
+
+    Both panos of every pair fold into ONE (2B,N) render batch (single flat
+    scatter + batched convs) — a vmapped per-pair render would serialize the
+    z-order scatter per image.
+    """
+    b = depth1.shape[0]
+    bp_batched = jax.vmap(bp.backproject_depth, in_axes=(0, 0, None, None))
+    xyz1, c1, v1 = bp_batched(depth1, rgb1, z_range, cfg.crop_ratio)
+    xyz2, c2, v2 = bp_batched(depth2, rgb2, z_range, cfg.crop_ratio)
 
     # HoHoNet -> ZInD frame fix for both clouds.
-    xy1 = xyz1[:, :2] @ _R_FIX.T
-    xy2 = xyz2[:, :2] @ _R_FIX.T
+    xy1 = xyz1[..., :2] @ _R_FIX.T
+    xy2 = xyz2[..., :2] @ _R_FIX.T
 
     # Move cloud 1 into pano 2's frame (translation carries the 1.5x scale).
-    xy1 = xy1 @ i2Ri1.T + i2ti1 * HOHO_S_ZIND_SCALE_FACTOR
+    xy1 = jnp.einsum("bij,bnj->bni", i2Ri1, xy1) + (
+        i2ti1 * HOHO_S_ZIND_SCALE_FACTOR
+    )[:, None, :]
 
-    xyz1 = jnp.concatenate([xy1, xyz1[:, 2:3]], axis=1)
-    xyz2 = jnp.concatenate([xy2, xyz2[:, 2:3]], axis=1)
+    xyz1 = jnp.concatenate([xy1, xyz1[..., 2:3]], axis=-1)
+    xyz2 = jnp.concatenate([xy2, xyz2[..., 2:3]], axis=-1)
 
-    img1 = bev_ops.render_bev_image(
-        xyz1, c1, v1, cfg.img_px, cfg.meters_per_px, cfg.is_semantics
+    imgs = bev_ops.render_bev_images_batched(
+        jnp.concatenate([xyz1, xyz2], axis=0),
+        jnp.concatenate([c1, c2], axis=0),
+        jnp.concatenate([v1, v2], axis=0),
+        cfg.img_px,
+        cfg.meters_per_px,
+        cfg.is_semantics,
     )
-    img2 = bev_ops.render_bev_image(
-        xyz2, c2, v2, cfg.img_px, cfg.meters_per_px, cfg.is_semantics
-    )
-    return img1, img2
-
-
-# vmap over a batch of pairs: (B,H,W) depths, (B,H,W,3) rgbs, (B,2,2), (B,2).
-_render_pairs_batched = jax.jit(
-    jax.vmap(_render_pair_device, in_axes=(0, 0, 0, 0, 0, 0, None, None)),
-    static_argnames=("cfg",),
-)
+    return imgs[:b], imgs[b:]
 
 
 def render_bev_pair(
