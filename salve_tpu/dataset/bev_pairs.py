@@ -121,9 +121,9 @@ class BEVPairDataset:
 
     Loads each tuple's JPEGs with a thread pool, resizes to
     (resize_h, resize_w) on the host (cv2, INTER_LINEAR — same as the
-    reference Resize transform), and returns float32 [0,255] arrays of
-    shape (B, n_imgs, resize_h, resize_w, 3); cropping/flips/normalize
-    run on device afterward.
+    reference Resize transform), and returns uint8 arrays of shape
+    (B, n_imgs, resize_h, resize_w, 3) — 4x cheaper to move to the device
+    than float32; cropping/flips/upcast/normalize run on device afterward.
     """
 
     def __init__(
@@ -151,7 +151,7 @@ class BEVPairDataset:
                 interpolation=cv2.INTER_LINEAR,
             )
             imgs.append(img)
-        return np.stack(imgs).astype(np.float32), label
+        return np.stack(imgs).astype(np.uint8), label
 
     def load_batch(self, indices: Sequence[int]) -> Tuple[np.ndarray, np.ndarray, List[Tuple]]:
         """Returns (imgs (B,N,H,W,3) f32, labels (B,) i32, tuples).
@@ -188,6 +188,7 @@ class BEVPairDataset:
         )
         if not ok.all():
             return None  # fall back (e.g. non-JPEG inputs)
+        imgs = np.clip(np.round(imgs), 0, 255).astype(np.uint8)
         return imgs.reshape(len(tuples), n_imgs, self.args.resize_h, self.args.resize_w, 3)
 
     def iter_batches(

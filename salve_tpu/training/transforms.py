@@ -112,8 +112,10 @@ def augment_train(
 
     Random crop + h/v flips share randomness across each tuple (axis 1);
     photometric jitter (if enabled) is independent per image.
-    Returns a normalized (B, N, crop_h, crop_w, 3) batch.
+    Accepts uint8 or float inputs (uint8 preferred: 4x cheaper host->device
+    transfer; upcast happens on device). Returns a normalized float batch.
     """
+    imgs = imgs.astype(jnp.float32)
     b, n, h, w, _ = imgs.shape
     k_crop_h, k_crop_w, k_hflip, k_vflip, k_photo = jax.random.split(key, 5)
 
@@ -139,7 +141,9 @@ def preprocess_eval(imgs: jnp.ndarray, crop_h: int, crop_w: int) -> jnp.ndarray:
     """Eval preprocessing: deterministic center crop + normalize.
 
     Parity: salve/train_utils.py:126-160 (get_val_test_transform).
+    Accepts uint8 or float inputs (upcast on device).
     """
+    imgs = imgs.astype(jnp.float32)
     b, n, h, w, _ = imgs.shape
     off_h = (h - crop_h) // 2
     off_w = (w - crop_w) // 2

@@ -71,4 +71,6 @@ class TestNativeLoader:
 
         imgs_cv2 = np.stack([ds._load_one(t)[0] for t in tuples])
         assert imgs_native.shape == imgs_cv2.shape
-        assert np.abs(imgs_native - imgs_cv2).mean() < 1.5
+        assert imgs_native.dtype == np.uint8
+        diff = np.abs(imgs_native.astype(np.int16) - imgs_cv2.astype(np.int16))
+        assert diff.mean() < 1.5
