@@ -163,18 +163,33 @@ def save_checkpoint(
     epoch: int,
     val_mAcc: float,
     cfg: TrainingConfig,
+    format: str = "flax",
 ) -> str:
-    """Serialize {params, batch_stats, opt_state, epoch, val_mAcc} to disk."""
+    """Serialize {params, batch_stats, opt_state, epoch, val_mAcc} to disk.
+
+    format="flax" writes a single msgpack blob; format="orbax" writes an
+    orbax StandardCheckpointer directory (sharding-aware, async-capable —
+    the production choice for multi-host runs).
+    """
     os.makedirs(save_dir, exist_ok=True)
-    ckpt_fpath = os.path.join(save_dir, "train_ckpt.flax")
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    with open(ckpt_fpath, "wb") as f:
-        f.write(flax.serialization.to_bytes(payload))
+    if format == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckpt_fpath = os.path.join(os.path.abspath(save_dir), "train_ckpt_orbax")
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(ckpt_fpath, payload, force=True)
+    elif format == "flax":
+        ckpt_fpath = os.path.join(save_dir, "train_ckpt.flax")
+        with open(ckpt_fpath, "wb") as f:
+            f.write(flax.serialization.to_bytes(payload))
+    else:
+        raise ValueError(f"Unknown checkpoint format {format}")
     meta = {
         "epoch": epoch,
         "val_mAcc": val_mAcc,
@@ -188,17 +203,24 @@ def save_checkpoint(
 
 
 def load_model_checkpoint(ckpt_fpath: str, state: TrainState) -> TrainState:
-    """Restore params/batch_stats/opt_state into a freshly-created state."""
-    with open(ckpt_fpath, "rb") as f:
-        payload = flax.serialization.from_bytes(
-            {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            },
-            f.read(),
-        )
+    """Restore params/batch_stats/opt_state into a freshly-created state.
+
+    Accepts either a .flax msgpack file or an orbax checkpoint directory.
+    """
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if os.path.isdir(ckpt_fpath):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = ckptr.restore(os.path.abspath(ckpt_fpath), template)
+    else:
+        with open(ckpt_fpath, "rb") as f:
+            payload = flax.serialization.from_bytes(template, f.read())
     return state.replace(
         params=payload["params"],
         batch_stats=payload["batch_stats"],

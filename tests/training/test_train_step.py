@@ -109,6 +109,25 @@ class TestCheckpoint:
             assert np.allclose(np.asarray(a), np.asarray(b))
 
 
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path) -> None:
+        cfg = tiny_config()
+        state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=10)
+        ckpt = train_lib.save_checkpoint(
+            str(tmp_path), state, epoch=1, val_mAcc=0.8, cfg=cfg, format="orbax"
+        )
+        import os
+
+        assert os.path.isdir(ckpt)
+        fresh = train_lib.create_train_state(cfg, jax.random.PRNGKey(9), max_iter=10)
+        restored = train_lib.load_model_checkpoint(ckpt, fresh)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+
+
 class TestPolySchedule:
     def test_matches_reference_formula(self) -> None:
         cfg = tiny_config(base_lr=0.01, poly_lr_power=0.9)
