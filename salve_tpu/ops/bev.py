@@ -60,11 +60,17 @@ def _box_counts(occ: jnp.ndarray, k: int) -> jnp.ndarray:
     lead = occ.shape[:-2]
     h, w = occ.shape[-2:]
     x = occ.reshape((-1, 1, h, w))
+    # HIGHEST precision: TPU convs default to bf16 passes, which rounds the
+    # box sums (0.6% image error after the fill's divisions) — these sums
+    # feed value interpolation, not just counting.
+    hp = jax.lax.Precision.HIGHEST
     x = jax.lax.conv_general_dilated(
-        x, kernel[None, None, :, None], (1, 1), [(k // 2, k // 2), (0, 0)]
+        x, kernel[None, None, :, None], (1, 1), [(k // 2, k // 2), (0, 0)],
+        precision=hp,
     )
     x = jax.lax.conv_general_dilated(
-        x, kernel[None, None, None, :], (1, 1), [(0, 0), (k // 2, k // 2)]
+        x, kernel[None, None, None, :], (1, 1), [(0, 0), (k // 2, k // 2)],
+        precision=hp,
     )
     return x.reshape(lead + (h, w))
 

@@ -16,15 +16,15 @@ Numerically identical to the XLA path (same op order); the test suite
 asserts exact agreement in interpret mode, and compiled-TPU output matches
 interpret exactly at lane-aligned sizes (verified at 64x128).
 
-STATUS: experimental — NOT wired into the production render path. At the
-production 501x501 size the compiled kernel is ~15% faster than the XLA
-path (2.44 ms vs 2.81 ms / image) but disagrees with it numerically
-(max |diff| ~1.6/255 after 6 iterations) even with host-side alignment
-padding + a validity plane; the discrepancy needs a Mosaic-level bisection
-(suspect: pad/slice shuffles across the 384->512 lane boundary on this
-toolchain). The XLA path (ops/bev.py) remains the production
-implementation; this kernel documents the VMEM-resident design and is kept
-under test so a toolchain fix can be detected.
+STATUS: verified correct on device at the production 501x501 size against
+an independent numpy oracle (max |diff| 4.6e-5). An earlier apparent
+mismatch was root-caused to the OLD XLA path itself: TPU convolutions
+default to bf16 passes, rounding the fill's box sums by ~0.6% of image
+range — the Pallas kernel (exact f32 shifts/adds) was the correct side.
+ops/bev.py now runs its convs at Precision.HIGHEST and the two paths agree
+exactly. The XLA path remains production (portable to the CPU test mesh);
+this kernel is the drop-in VMEM-resident alternative with equivalent
+steady-state speed on chip.
 """
 
 from __future__ import annotations
