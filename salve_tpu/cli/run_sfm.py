@@ -39,6 +39,73 @@ logger = logging.getLogger(__name__)
 DEFAULT_CONFIDENCE_THRESHOLD = 0.93  # scripts/run_sfm.py:617
 
 
+def compute_floor_wdo_type_distribution(high_conf_measurements) -> dict:
+    """Fraction of verified edges per W/D/O type (parity: run_sfm.py:38)."""
+    from collections import defaultdict
+
+    wdo_type_counter = defaultdict(float)
+    for m in high_conf_measurements:
+        alignment_object = m.wdo_pair_uuid.split("_")[0]
+        wdo_type_counter[alignment_object] += 1 / len(high_conf_measurements)
+    return dict(wdo_type_counter)
+
+
+def measure_avg_relative_pose_errors(
+    measurements,
+    gt_floor_pg,
+    verbose: bool = False,
+) -> tuple:
+    """Mean per-edge relative (rot, trans) error vs GT (parity: run_sfm.py:55).
+
+    A more reliable quality signal than edge classification accuracy
+    (GT labels are noisy); works without an estimated global pose graph.
+    """
+    rot_errs, trans_errs = [], []
+    for m in measurements:
+        if m.i1 not in gt_floor_pg.nodes or m.i2 not in gt_floor_pg.nodes:
+            continue
+        rot_err, trans_err = m.compute_measurement_relative_pose_error_from_gt(
+            gt_floor_pg
+        )
+        rot_errs.append(rot_err)
+        trans_errs.append(trans_err)
+        if verbose:
+            logger.info("(%d,%d): rot %.2f deg, trans %.3f", m.i1, m.i2, rot_err, trans_err)
+    if not rot_errs:
+        return float("nan"), float("nan")
+    mean_rot_err = float(np.mean(rot_errs))
+    mean_trans_err = float(np.mean(trans_errs))
+    logger.info(
+        "Mean relative pose errors over %d edges: rot %.2f deg, trans %.3f",
+        len(rot_errs), mean_rot_err, mean_trans_err,
+    )
+    return mean_rot_err, mean_trans_err
+
+
+def plot_confidence_histograms(measurements, save_fpath: str = "confidence_histograms.png") -> None:
+    """TP/FP/FN/TN confidence histograms (parity: run_sfm.py:197)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from salve_tpu.utils import pr_utils
+
+    probs = np.array([m.prob for m in measurements])
+    y_true = np.array([m.y_true for m in measurements])
+    y_hat = np.array([m.y_hat for m in measurements])
+    is_TP, is_FP, is_FN, is_TN = pr_utils.assign_tp_fp_fn_tn(y_true, y_hat)
+    for i, (mask, title) in enumerate(
+        [(is_TP, "TP"), (is_FP, "FP"), (is_FN, "FN"), (is_TN, "TN")]
+    ):
+        plt.subplot(2, 2, i + 1)
+        plt.hist(probs[mask], bins=30)
+        plt.title(title)
+    plt.tight_layout()
+    plt.savefig(save_fpath, dpi=200)
+    plt.close("all")
+
+
 def _empty_report() -> FloorReconstructionReport:
     return FloorReconstructionReport(
         avg_abs_rot_err=np.nan,
@@ -117,6 +184,10 @@ def run_incremental_reconstruction(
             )
         else:
             high_conf_inlier_measurements = high_conf_measurements
+
+        wdo_type_counter = compute_floor_wdo_type_distribution(high_conf_measurements)
+        logger.info("W/D/O type distribution: %s", wdo_type_counter)
+        measure_avg_relative_pose_errors(high_conf_measurements, gt_floor_pose_graph)
 
         (
             i2Si1_dict,
