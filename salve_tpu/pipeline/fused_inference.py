@@ -105,6 +105,8 @@ def score_floor_hypotheses(
         hypotheses: (i1, i2, AlignmentHypothesis) triples.
         batch_size: hypotheses per device batch.
     """
+    if not hypotheses:
+        return []
     score_batch = make_fused_score_fn(state, cfg, render_cfg)
     depths_d = jnp.asarray(depths)
     rgbs_d = jnp.asarray(rgbs)
