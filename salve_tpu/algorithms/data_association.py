@@ -12,7 +12,7 @@ Keypoint ordering per pano (data_association.py:21-48): grouped by twos as
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

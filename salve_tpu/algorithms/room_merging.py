@@ -14,7 +14,7 @@ from typing import List
 import networkx as nx
 import numpy as np
 
-from salve_tpu.geometry.polygons import points_in_polygon, polygon_area
+from salve_tpu.geometry.polygons import points_in_polygon
 
 MIN_LAYOUT_OVERLAP_RATIO = 0.3
 MIN_LAYOUT_OVERLAP_IOU = 0.1

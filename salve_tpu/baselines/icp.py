@@ -14,7 +14,7 @@ point-to-plane ICP, both of which called Open3D's C++ pipelines. Here:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

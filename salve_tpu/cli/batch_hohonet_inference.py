@@ -16,7 +16,7 @@ from typing import Optional
 import click
 
 from salve_tpu.dataset.zind_partition import DATASET_SPLITS
-from salve_tpu.depth.cache import depth_fpath_for_pano, infer_depth_if_nonexistent
+from salve_tpu.depth.cache import infer_depth_if_nonexistent
 
 logger = logging.getLogger(__name__)
 

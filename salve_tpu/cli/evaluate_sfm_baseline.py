@@ -7,7 +7,6 @@ import logging
 from pathlib import Path
 
 import click
-import numpy as np
 
 from salve_tpu.baselines.sfm_eval import (
     analyze_algorithm_results,

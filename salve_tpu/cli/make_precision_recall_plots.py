@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import glob
-from typing import Dict, List
+from typing import Dict
 
 import click
 import numpy as np

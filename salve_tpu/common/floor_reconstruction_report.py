@@ -10,7 +10,7 @@ kernel (salve_tpu.ops.raster) instead of cv2.fillPoly.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -7,7 +7,7 @@ Replaces the gtsam.Pose2 objects threaded through the reference's Stage D
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 

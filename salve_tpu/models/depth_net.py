@@ -22,14 +22,14 @@ external checkpoint is required to stand the pipeline up end-to-end.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from salve_tpu.models.resnet import ResNet, RESNET_SPECS, BasicBlock, BottleneckBlock
+from salve_tpu.models.resnet import RESNET_SPECS, BasicBlock, BottleneckBlock
 
 PANO_H, PANO_W = 512, 1024
 

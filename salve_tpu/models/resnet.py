@@ -10,7 +10,7 @@ under training) with float32 parameters and batch-norm statistics.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,14 +15,12 @@ remains available via the per-stage CLIs for training-data generation.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from salve_tpu.geometry.sim2 import Sim2
 from salve_tpu.rendering.bev_pair import BEVRenderConfig, _render_pairs_batched
 from salve_tpu.training import transforms
 from salve_tpu.training.config import TrainingConfig

@@ -11,9 +11,8 @@ building; here a batch of pairs is one device launch.
 from __future__ import annotations
 
 import functools
-import os
 from pathlib import Path
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

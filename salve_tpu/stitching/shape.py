@@ -7,7 +7,6 @@ salve_tpu.algorithms.room_merging.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Optional, Tuple
 
 import networkx as nx

@@ -16,7 +16,6 @@ from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
-from salve_tpu.stitching.constants import IMAGE_HEIGHT_PX, IMAGE_WIDTH_PX
 from salve_tpu.stitching.models import Point2d, Point3d, Pose
 
 

@@ -7,7 +7,7 @@ Defaults follow the best released model's config
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 

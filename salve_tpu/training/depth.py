@@ -9,9 +9,8 @@ distribution of indoor panos).
 
 from __future__ import annotations
 
-import glob
 from pathlib import Path
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

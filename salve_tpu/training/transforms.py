@@ -17,7 +17,6 @@ Train batches are (B, n_imgs, H, W, 3) float32 in [0,255].
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ import os
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
 
 
 def generate_edge_colors_from_error_magnitudes(

@@ -1,6 +1,6 @@
 """Matplotlib vector-graphics helpers (parity: salve/utils/matplotlib_utils.py)."""
 
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import numpy as np
 

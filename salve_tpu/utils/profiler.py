@@ -10,7 +10,6 @@ more than reference parity, per SURVEY.md §5.
 from __future__ import annotations
 
 import contextlib
-import json
 import time
 from collections import defaultdict
 from typing import Dict, Iterator, Optional
