@@ -96,13 +96,19 @@ def _ransac_errors(
     valid: jnp.ndarray,
     keep_masks: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fit one Sim(3) per keep-mask row, score each on ALL valid poses.
+    """Fit one Sim(3) per keep-mask row, score each over its KEPT subset.
+
+    Parity: salve/utils/ransac.py:53-67 — the reference aligns the subset
+    and evaluates compute_pose_errors_3d on that aligned subset (deleted
+    poses are None there), so hypothesis errors exclude the deleted poses.
+    Scoring over ALL poses would make a degenerate tiny-scale fit (which
+    shrinks every residual) beat an outlier-free fit.
 
     Returns per-hypothesis (mean_rot_err_deg, mean_trans_err, theta, t, s).
     """
     w = keep_masks * valid[None, :]
     theta, t, s = _fit_planar_sim3(theta_a[None, :], ca[None, :, :], theta_b[None, :], cb[None, :, :], w)
-    # Evaluate against all valid poses.
+    # Evaluate against the kept poses of each hypothesis.
     dtheta = theta_a[None, :] - theta_b[None, :] - theta[:, None]
     rot_err = jnp.abs(jnp.rad2deg(jnp.arctan2(jnp.sin(dtheta), jnp.cos(dtheta))))
     c, s_ = jnp.cos(theta), jnp.sin(theta)
@@ -119,9 +125,9 @@ def _ransac_errors(
         jnp.einsum("hij,nj->hni", R, cb, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     )
     trans_err = jnp.linalg.norm(ca[None, :, :] - cb_in_a, axis=-1)
-    nvalid = jnp.sum(valid)
-    mean_rot = jnp.sum(rot_err * valid[None, :], axis=-1) / nvalid
-    mean_trans = jnp.sum(trans_err * valid[None, :], axis=-1) / nvalid
+    nkept = jnp.sum(w, axis=-1)
+    mean_rot = jnp.sum(rot_err * w, axis=-1) / nkept
+    mean_trans = jnp.sum(trans_err * w, axis=-1) / nkept
     return mean_rot, mean_trans, theta, t, s
 
 
