@@ -83,8 +83,13 @@ def load_estimated_pose_graph(
                 image_width=IMAGE_WIDTH_PX,
                 camera_height_m=camera_height_m,
             )
-            room_vertices_local_2d = layout_pts[:, np.array([0, 2])]
-            room_vertices_local_2d[:, 0] *= -1  # handedness fix
+            # Floor-plane coordinates are the first two columns of our
+            # world-metric convention (vertical is column 2) — the same
+            # slice mhnet_prediction.convert_to_pano_data uses, keeping
+            # loader-produced layouts in the identical frame. (The
+            # reference's [0, 2] pick belongs to its own column layout and
+            # sits in its WIP stitching path.)
+            room_vertices_local_2d = layout_pts[:, :2]
 
         nodes[pano_id] = PanoData(
             id=pano_id,

@@ -1,0 +1,110 @@
+"""Tests for the ZInD pano projection chain (reference numeric fixtures)."""
+
+import numpy as np
+
+from salve_tpu.geometry import pano_projection as P
+
+
+class TestRoundTrip:
+    def test_pixel_sphere_cartesian_roundtrip(self) -> None:
+        """pixel -> sphere -> cartesian -> sphere -> pixel is identity."""
+        rng = np.random.default_rng(0)
+        N, img_w, img_h = 10000, 1024, 512
+        contour_px = rng.integers([0, 0], [img_w, img_h], size=(N, 2))
+
+        points_sph = P.zind_pixel_to_sphere(contour_px, width=img_w)
+        points_cart = P.zind_sphere_to_cartesian(points_sph)
+        points_sph_ = P.zind_cartesian_to_sphere(points_cart)
+        contour_px_ = P.zind_sphere_to_pixel(points_sph_, width=img_w)
+        assert np.allclose(contour_px, contour_px_)
+
+
+class TestSphereToCartesian:
+    def test_reference_fixture(self) -> None:
+        points_sph = np.array(
+            [
+                [-np.pi, np.pi / 2],
+                [-np.pi, -np.pi / 2],
+                [np.pi, -np.pi / 2],
+                [np.pi, np.pi / 2],
+                [0, 0],
+                [np.pi / 2, 0],
+                [-np.pi, 0],
+            ]
+        )
+        expected = np.array(
+            [
+                [0, 1, 0],
+                [0, -1, 0],
+                [0, -1, 0],
+                [0, 1, 0],
+                [0, 0, 1],
+                [1, 0, 0],
+                [0, 0, -1],
+            ]
+        )
+        out = P.zind_sphere_to_cartesian(points_sph)
+        assert np.allclose(out, expected, atol=1e-12)
+
+
+class TestCartesianToSphere:
+    def test_reference_fixture(self) -> None:
+        points_cart = np.array([[0, 0, 1], [1, 0, 0], [0, 0, -1]], dtype=float)
+        expected = np.array([[0, 0, 1], [np.pi / 2, 0, 1], [-np.pi, 0, 1]])
+        out = P.zind_cartesian_to_sphere(points_cart)
+        out = np.array(out)
+        out[:, 0] = np.mod(out[:, 0], 2 * np.pi)
+        expected[:, 0] = np.mod(expected[:, 0], 2 * np.pi)
+        assert np.allclose(out, expected)
+
+
+class TestPixelSphere:
+    def test_pixel_to_sphere_corners(self) -> None:
+        points_pix = np.array([[0, 0], [0, 511], [1023, 511], [1023, 0]])
+        expected = np.array(
+            [
+                [-np.pi, np.pi / 2],
+                [-np.pi, -np.pi / 2],
+                [np.pi, -np.pi / 2],
+                [np.pi, np.pi / 2],
+            ]
+        )
+        assert np.allclose(P.zind_pixel_to_sphere(points_pix, width=1024), expected)
+
+    def test_sphere_to_pixel_corners(self) -> None:
+        points_sph = np.array(
+            [
+                [-np.pi, np.pi / 2],
+                [-np.pi, -np.pi / 2],
+                [np.pi, -np.pi / 2],
+                [np.pi, np.pi / 2],
+            ]
+        )
+        expected = np.array([[0, 0], [0, 511], [1023, 511], [1023, 0]])
+        assert np.allclose(P.zind_sphere_to_pixel(points_sph, width=1024), expected)
+
+
+class TestWorldMetric:
+    def test_floor_point_convention(self) -> None:
+        """Floor pixels land on the floor plane: columns (x, y, vertical)
+        with the vertical (column 2) scaled to exactly camera_height —
+        the convention every consumer ([:, :2] slices) relies on."""
+        camera_height = 1.5
+        pts = np.array([[0.0, 384.0], [256.0, 384.0], [512.0, 384.0], [512.0, 448.0]])
+        world = P.convert_points_px_to_worldmetric(
+            pts, image_width=1024, camera_height_m=camera_height
+        )
+        assert np.allclose(world[:, 2], camera_height, atol=1e-9)
+        # Horizontal positions vary with the pixel column / depth.
+        assert np.ptp(world[:, 0]) > 0.5
+        assert np.ptp(world[:, 1]) > 0.5
+
+    def test_depth_decreases_toward_nadir(self) -> None:
+        """Lower pixels (closer to nadir) are closer to the camera."""
+        world = P.convert_points_px_to_worldmetric(
+            np.array([[512.0, 300.0], [512.0, 400.0], [512.0, 500.0]]),
+            image_width=1024,
+            camera_height_m=1.5,
+        )
+        d = np.linalg.norm(world[:, :2], axis=1)
+        assert d[0] > d[1] > d[2]

@@ -35,6 +35,23 @@ def test_stitch_building_layouts(tmp_path) -> None:
         },
     )
 
+    # Guard against layout degeneracy from the SfM result loader: corner
+    # layouts must span 2D (a bad worldmetric column pick collapses them).
+    from salve_tpu.dataset import salve_sfm_result_loader
+    from salve_tpu.dataset.salve_sfm_result_loader import EstimatedBoundaryType
+
+    pg_corners = salve_sfm_result_loader.load_estimated_pose_graph(
+        json_fpath=loc_fpath,
+        boundary_type=EstimatedBoundaryType.HNET_CORNERS,
+        raw_dataset_dir=raw_dataset_dir,
+        predictions_data_root=hnet_pred_dir,
+    )
+    for pano in pg_corners.nodes.values():
+        verts = pano.room_vertices_local_2d
+        if verts.shape[0] >= 3:
+            assert np.ptp(verts[:, 0]) > 0.1
+            assert np.ptp(verts[:, 1]) > 0.1
+
     out_dir = tmp_path / "stitched"
     stitch_building_layouts(
         building_id=building_id,
