@@ -87,14 +87,20 @@ class MHNetPanoStructurePrediction:
         )
 
     def get_floor_corners_image(self) -> np.ndarray:
-        """(C//2, 2) predicted floor corners in pixel coords (even rows of the interleave)."""
-        uv = self.corners_in_uv * np.array([self.image_width, self.image_height])
-        return uv[::2]
+        """(C//2, 2) predicted floor corners in pixel coords (odd rows of the interleave).
 
-    def get_ceiling_corners_image(self) -> np.ndarray:
-        """(C//2, 2) predicted ceiling corners in pixel coords (odd rows)."""
+        The interleave is (ceiling, floor) per corner: on the fixture data the
+        odd rows' v-coords coincide with `floor_boundary` at the same column.
+        (The reference's same-named getter at mhnet_prediction.py:134 slices
+        even rows, contradicting its own data — it only feeds a debug plot.)
+        """
         uv = self.corners_in_uv * np.array([self.image_width, self.image_height])
         return uv[1::2]
+
+    def get_ceiling_corners_image(self) -> np.ndarray:
+        """(C//2, 2) predicted ceiling corners in pixel coords (even rows)."""
+        uv = self.corners_in_uv * np.array([self.image_width, self.image_height])
+        return uv[::2]
 
     def convert_to_pano_data(
         self,

@@ -64,3 +64,17 @@ class TestRenderBEVPairSmoke:
         # identity pose + identical panos -> identical renders
         assert np.array_equal(img1, img2)
         assert img1.sum() > 0  # floor ring visible
+
+
+class TestBevImgSim2World:
+    def test_reference_fixture(self) -> None:
+        """10m x 10m BEV at 0.5 m/px (reference test_bevparams.py::test_bevimg_Sim2_world)."""
+        from salve_tpu.ops.bev import make_bevimg_Sim2_world
+
+        R, t, s = make_bevimg_Sim2_world(img_px=20, meters_per_px=0.5)
+        world_pts = np.array([[2, 2], [-5, -5], [5, 5]], dtype=float)
+        img_pts = (world_pts @ R.T + t) * s
+        assert np.allclose(img_pts, np.array([[14, 14], [0, 0], [20, 20]]))
+
+    def test_line_width_intermediate_resolution(self) -> None:
+        assert layout.get_line_width_by_resolution(0.01) == 15
