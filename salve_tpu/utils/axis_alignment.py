@@ -67,6 +67,27 @@ def determine_dominant_rotation_angle(
     return angle, len(angles) / len(poly)
 
 
+def get_dominant_direction_from_point_cloud(point_cloud: np.ndarray) -> float:
+    """Dominant axis angle (deg) of a 2D contour / point cloud.
+
+    Parity: axis_alignment_utils.get_dominant_direction_from_point_cloud —
+    the angle theta such that rotating the points by rotmat2d(theta) makes
+    the dominant edge direction axis-aligned. Computed as the length-weighted
+    circular mean of consecutive-edge directions on the 4*theta circle
+    (axis directions are 90-deg periodic), mapped to [-45, 45].
+    """
+    edges = np.diff(np.vstack([point_cloud, point_cloud[:1]]), axis=0)
+    lengths = np.linalg.norm(edges, axis=1)
+    keep = lengths > 1e-12
+    ang4 = 4.0 * np.arctan2(edges[keep, 1], edges[keep, 0])
+    w = lengths[keep]
+    mean4 = np.arctan2(np.sum(w * np.sin(ang4)), np.sum(w * np.cos(ang4)))
+    theta = np.rad2deg(mean4 / 4.0) % 90.0
+    if theta > 45.0:
+        theta -= 90.0
+    return float(theta)
+
+
 def compute_vp_correction(i2Si1: Sim2, vp_i1: float, vp_i2: float) -> float:
     """Correction i2r_theta_i2 from vanishing angles, mapped to [-45, 45]."""
     i2_theta_i1 = rotmat2theta_deg(i2Si1.rotation)

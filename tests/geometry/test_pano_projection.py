@@ -108,3 +108,19 @@ class TestWorldMetric:
         )
         d = np.linalg.norm(world[:, :2], axis=1)
         assert d[0] > d[1] > d[2]
+
+
+class TestUniSphere:
+    def test_get_uni_sphere_xyz(self) -> None:
+        """HoHoNet ray-grid convention: -x toward center pixel, z up.
+
+        Fixture: reference tests/test_hohonet_pano_utils.py::test_get_uni_sphere_xyz.
+        """
+        sphere_xyz = P.get_uni_sphere_xyz(H=512, W=1024)
+        # Top-left / top-right pixels point up (wrapped around at the seam).
+        assert np.allclose(sphere_xyz[0, 0], np.array([0, 0, 1]), atol=4e-3)
+        assert np.allclose(sphere_xyz[0, 1023], np.array([0, 0, 1]), atol=4e-3)
+        # Bottom-left points down.
+        assert np.allclose(sphere_xyz[511, 0], np.array([0, 0, -1]), atol=4e-3)
+        # Center pixel of the panorama points toward -x.
+        assert np.allclose(sphere_xyz[256, 512], np.array([-1, 0, 0]), atol=4e-3)
