@@ -40,10 +40,13 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        # Explicit (1,1) padding: XLA "SAME" pads (0,1) under stride 2, a
+        # one-pixel shift vs torch's symmetric pad=1 — symmetric padding
+        # keeps converted torch checkpoints (models/torch_weights.py) exact.
+        y = self.conv(self.filters, (3, 3), self.strides, padding=[(1, 1), (1, 1)])(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)])(y)
         y = self.norm(scale_init=nn.initializers.zeros_init())(y)
 
         if residual.shape != y.shape:
@@ -64,7 +67,8 @@ class BottleneckBlock(nn.Module):
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        # Symmetric padding for torch-checkpoint parity (see BasicBlock).
+        y = self.conv(self.filters, (3, 3), self.strides, padding=[(1, 1), (1, 1)])(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters * 4, (1, 1))(y)

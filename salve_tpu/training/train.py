@@ -203,8 +203,19 @@ def save_checkpoint(
 def load_model_checkpoint(ckpt_fpath: str, state: TrainState) -> TrainState:
     """Restore params/batch_stats/opt_state into a freshly-created state.
 
-    Accepts either a .flax msgpack file or an orbax checkpoint directory.
+    Accepts a .flax msgpack file, an orbax checkpoint directory, or a
+    reference torch ``.pth``/``.pt`` checkpoint (the 7 released SALVe
+    verifier weights, reference README.md:195-203) — the latter is
+    converted via models.torch_weights with a fresh optimizer state.
     """
+    if ckpt_fpath.endswith((".pth", ".pt")):
+        from salve_tpu.models.torch_weights import load_reference_checkpoint
+
+        params, batch_stats = load_reference_checkpoint(ckpt_fpath)
+        return state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, params),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats),
+        )
     template = {
         "params": state.params,
         "batch_stats": state.batch_stats,
