@@ -29,12 +29,33 @@ FLOOR_Z_RANGE = (-jnp.inf, -1.0)
 CEILING_Z_RANGE = (0.5, jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("crop_ratio",))
+def surface_row_window(H: int, z_range: Tuple[float, float], crop_ratio: float) -> Tuple[int, int]:
+    """Static pano-row window that can contain points with z in `z_range`.
+
+    Equirect rows above the horizon (v < H/2) have strictly positive ray z,
+    rows below strictly negative — so a floor surface (zmax <= 0) can only
+    come from the lower half and a ceiling surface (zmin >= 0) from the
+    upper half. Intersected with the noise crop. Restricting the
+    backprojection to this window halves the z-order scatter work exactly
+    (excluded rows could never pass the z-range mask).
+    """
+    crop = int(H * crop_ratio)
+    r0, r1 = crop, H - crop
+    zmin, zmax = z_range
+    if zmax <= 0:  # floor-like: rays must point down
+        r0 = max(r0, H // 2)
+    if zmin >= 0:  # ceiling-like: rays must point up
+        r1 = min(r1, H // 2)
+    return r0, r1
+
+
+@functools.partial(jax.jit, static_argnames=("crop_ratio", "row_window"))
 def backproject_depth(
     depth_mm: jnp.ndarray,
     rgb: jnp.ndarray,
     z_range: Tuple[float, float],
     crop_ratio: float = DEFAULT_CROP_RATIO,
+    row_window: Tuple[int, int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Backproject an equirect depth map into a colored point cloud.
 
@@ -43,22 +64,24 @@ def backproject_depth(
         rgb: (H,W,3) float RGB in [0,1].
         z_range: (zmin, zmax] — points outside are masked invalid.
         crop_ratio: fraction of rows removed from pano top and bottom.
+        row_window: optional static (r0, r1) row slice replacing the crop
+            (see surface_row_window); rays keep full-pano v angles.
 
     Returns:
-        xyz: (N,3) float32 point coordinates (N = (H - 2*crop)*W).
+        xyz: (N,3) float32 point coordinates (N = (r1-r0)*W).
         rgb: (N,3) float32 colors in [0,1].
         valid: (N,) bool mask (True where z in (zmin, zmax]).
     """
     H, W = depth_mm.shape
-    depth_m = depth_mm.astype(jnp.float32) * DEPTH_SCALE
+    if row_window is None:
+        crop = int(H * crop_ratio)
+        row_window = (crop, H - crop)
+    r0, r1 = row_window
 
-    rays = get_uni_sphere_xyz(H, W, xp=jnp)  # (H,W,3)
+    depth_m = depth_mm[r0:r1].astype(jnp.float32) * DEPTH_SCALE
+    rays = get_uni_sphere_xyz(H, W, xp=jnp)[r0:r1]  # full-pano v angles
     xyz = depth_m[..., None] * rays
-
-    crop = int(H * crop_ratio)
-    if crop > 0:
-        xyz = xyz[crop:-crop]
-        rgb = rgb[crop:-crop]
+    rgb = rgb[r0:r1]
 
     xyz = xyz.reshape(-1, 3)
     rgb = rgb.reshape(-1, 3).astype(jnp.float32)

@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from salve_tpu.rendering.bev_pair import BEVRenderConfig, _render_pairs_batched
+from salve_tpu.rendering.bev_pair import (
+    BEVRenderConfig,
+    render_identity_batched,
+    render_transformed_batched,
+)
 from salve_tpu.training import transforms
 from salve_tpu.training.config import TrainingConfig
 
@@ -53,16 +57,23 @@ def make_fused_score_fn(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig)
         raise ValueError("Fused inference supports the ceiling+floor RGB verifier.")
 
     @jax.jit
-    def score_batch(params, batch_stats, depths, rgbs, i1_idx, i2_idx, rotations, translations):
+    def score_batch(
+        params, batch_stats, depths, rgbs, bank_ceil, bank_floor,
+        i1_idx, i2_idx, rotations, translations,
+    ):
         d1, c1 = depths[i1_idx], rgbs[i1_idx]
-        d2, c2 = depths[i2_idx], rgbs[i2_idx]
 
-        ceil1, ceil2 = _render_pairs_batched(
-            d1, c1, d2, c2, rotations, translations, (0.5, jnp.inf), render_cfg
+        # Pano 1 depends on the hypothesis transform: render per hypothesis.
+        ceil1 = render_transformed_batched(
+            d1, c1, rotations, translations, (0.5, jnp.inf), render_cfg
         )
-        floor1, floor2 = _render_pairs_batched(
-            d1, c1, d2, c2, rotations, translations, (-jnp.inf, -1.0), render_cfg
+        floor1 = render_transformed_batched(
+            d1, c1, rotations, translations, (-jnp.inf, -1.0), render_cfg
         )
+        # Pano 2 is rendered in its own frame — hypothesis-independent, so
+        # it comes from the precomputed per-pano identity bank (rendered
+        # once per floor instead of once per hypothesis).
+        ceil2, floor2 = bank_ceil[i2_idx], bank_floor[i2_idx]
 
         # uint8 -> float: match the training-data domain (quantized renders).
         imgs = [
@@ -109,6 +120,11 @@ def score_floor_hypotheses(
     depths_d = jnp.asarray(depths)
     rgbs_d = jnp.asarray(rgbs)
 
+    # Identity-frame BEV bank: one render per pano per surface for the whole
+    # floor (hypotheses typically outnumber panos by orders of magnitude).
+    bank_ceil = render_identity_batched(depths_d, rgbs_d, (0.5, jnp.inf), render_cfg)
+    bank_floor = render_identity_batched(depths_d, rgbs_d, (-jnp.inf, -1.0), render_cfg)
+
     results: List[ScoredHypothesis] = []
     for start in range(0, len(hypotheses), batch_size):
         chunk = hypotheses[start : start + batch_size]
@@ -126,7 +142,7 @@ def score_floor_hypotheses(
 
         y_hat, prob = score_batch(
             state.params, state.batch_stats, depths_d, rgbs_d,
-            i1_idx, i2_idx, rotations, translations,
+            bank_ceil, bank_floor, i1_idx, i2_idx, rotations, translations,
         )
         y_hat, prob = np.asarray(y_hat), np.asarray(prob)
         for k, (i1, i2, ah) in enumerate(chunk):

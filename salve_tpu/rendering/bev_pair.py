@@ -48,6 +48,57 @@ def _z_range_for_surface(surface_type: str) -> Tuple[float, float]:
     raise ValueError(f"Unknown surface type: {surface_type}")
 
 
+@functools.partial(jax.jit, static_argnames=("z_range", "cfg"))
+def render_identity_batched(
+    depths: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    z_range: Tuple[float, float],
+    cfg: "BEVRenderConfig",
+) -> jnp.ndarray:
+    """Render (B,H,W) panos in their OWN frames -> (B,h,w,3) uint8 BEVs.
+
+    Identical to the img2 half of `_render_pairs_batched` (the un-transformed
+    pano): identity renders are hypothesis-independent, so callers scoring
+    many hypotheses per pano (pipeline/fused_inference.py) render each pano
+    once here instead of once per hypothesis.
+    """
+    window = bp.surface_row_window(depths.shape[1], z_range, cfg.crop_ratio)
+    bp_batched = jax.vmap(bp.backproject_depth, in_axes=(0, 0, None, None, None))
+    xyz, c, v = bp_batched(depths, rgbs, z_range, cfg.crop_ratio, window)
+    xy = xyz[..., :2] @ _R_FIX.T
+    xyz = jnp.concatenate([xy, xyz[..., 2:3]], axis=-1)
+    return bev_ops.render_bev_images_batched(
+        xyz, c, v, cfg.img_px, cfg.meters_per_px, cfg.is_semantics
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("z_range", "cfg"))
+def render_transformed_batched(
+    depths: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    i2Ri1: jnp.ndarray,
+    i2ti1: jnp.ndarray,
+    z_range: Tuple[float, float],
+    cfg: "BEVRenderConfig",
+) -> jnp.ndarray:
+    """Render (B,H,W) panos moved into the partner frame -> (B,h,w,3) uint8.
+
+    The img1 half of `_render_pairs_batched`: pano 1's cloud carried through
+    the relative-pose hypothesis before splatting.
+    """
+    window = bp.surface_row_window(depths.shape[1], z_range, cfg.crop_ratio)
+    bp_batched = jax.vmap(bp.backproject_depth, in_axes=(0, 0, None, None, None))
+    xyz, c, v = bp_batched(depths, rgbs, z_range, cfg.crop_ratio, window)
+    xy = xyz[..., :2] @ _R_FIX.T
+    xy = jnp.einsum("bij,bnj->bni", i2Ri1, xy) + (
+        i2ti1 * HOHO_S_ZIND_SCALE_FACTOR
+    )[:, None, :]
+    xyz = jnp.concatenate([xy, xyz[..., 2:3]], axis=-1)
+    return bev_ops.render_bev_images_batched(
+        xyz, c, v, cfg.img_px, cfg.meters_per_px, cfg.is_semantics
+    )
+
+
 def _render_pair_device(
     depth1: jnp.ndarray,
     rgb1: jnp.ndarray,
@@ -66,7 +117,7 @@ def _render_pair_device(
     return img1[0], img2[0]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("z_range", "cfg"))
 def _render_pairs_batched(
     depth1: jnp.ndarray,
     rgb1: jnp.ndarray,
@@ -84,9 +135,12 @@ def _render_pairs_batched(
     z-order scatter per image.
     """
     b = depth1.shape[0]
-    bp_batched = jax.vmap(bp.backproject_depth, in_axes=(0, 0, None, None))
-    xyz1, c1, v1 = bp_batched(depth1, rgb1, z_range, cfg.crop_ratio)
-    xyz2, c2, v2 = bp_batched(depth2, rgb2, z_range, cfg.crop_ratio)
+    # Static row window: floor points only exist below the horizon, ceiling
+    # points above — halves the z-order scatter work exactly.
+    window = bp.surface_row_window(depth1.shape[1], z_range, cfg.crop_ratio)
+    bp_batched = jax.vmap(bp.backproject_depth, in_axes=(0, 0, None, None, None))
+    xyz1, c1, v1 = bp_batched(depth1, rgb1, z_range, cfg.crop_ratio, window)
+    xyz2, c2, v2 = bp_batched(depth2, rgb2, z_range, cfg.crop_ratio, window)
 
     # HoHoNet -> ZInD frame fix for both clouds.
     xy1 = xyz1[..., :2] @ _R_FIX.T

@@ -78,3 +78,43 @@ class TestBevImgSim2World:
 
     def test_line_width_intermediate_resolution(self) -> None:
         assert layout.get_line_width_by_resolution(0.01) == 15
+
+
+class TestSurfaceRowWindow:
+    def test_sliced_render_is_exact(self) -> None:
+        """Restricting backprojection to the surface half-pano must not change
+        the rendered BEV at all (excluded rows can never pass the z mask)."""
+        import jax
+        import jax.numpy as jnp
+
+        from salve_tpu.ops import backproject as bp
+        from salve_tpu.ops import bev as bev_ops
+        from salve_tpu.rendering import bev_pair
+
+        rng = np.random.default_rng(0)
+        depths = jnp.asarray(rng.uniform(800, 4000, (2, 64, 128)).astype(np.float32))
+        rgbs = jnp.asarray(rng.uniform(0, 1, (2, 64, 128, 3)).astype(np.float32))
+        cfg = bev_pair.BEVRenderConfig(img_px=100)
+
+        for z_range in [(-np.inf, -1.0), (0.5, np.inf)]:
+            window = bp.surface_row_window(64, z_range, cfg.crop_ratio)
+            full = (int(64 * cfg.crop_ratio), 64 - int(64 * cfg.crop_ratio))
+            assert window != full  # the slice actually shrinks the cloud
+
+            def render(win):
+                f = jax.vmap(bp.backproject_depth, in_axes=(0, 0, None, None, None))
+                xyz, c, v = f(depths, rgbs, z_range, cfg.crop_ratio, win)
+                xy = xyz[..., :2] @ bev_pair._R_FIX.T
+                xyz = jnp.concatenate([xy, xyz[..., 2:3]], axis=-1)
+                return np.asarray(
+                    bev_ops.render_bev_images_batched(xyz, c, v, cfg.img_px, cfg.meters_per_px, False)
+                )
+
+            np.testing.assert_array_equal(render(window), render(full))
+
+    def test_window_bounds(self) -> None:
+        from salve_tpu.ops.backproject import surface_row_window
+
+        assert surface_row_window(512, (-np.inf, -1.0), 80 / 512) == (256, 432)
+        assert surface_row_window(512, (0.5, np.inf), 80 / 512) == (80, 256)
+        assert surface_row_window(512, (-2.0, 2.0), 80 / 512) == (80, 432)
