@@ -44,22 +44,19 @@ def run_epoch(
 
     n_batches = 0
     end = time.time()
-    for imgs, labels, _ in dataset.iter_batches(
-        cfg.batch_size, shuffle=(split == "train"), seed=epoch
-    ):
-        if mesh is not None and imgs.shape[0] % mesh.size == 0:
-            imgs, labels = shard_batch(mesh, (imgs, labels))
+    pending = None  # (metrics, labels_host) of the in-flight step
+
+    def _consume(pending_item):
+        """Fetch the previous step's metrics (the only host sync point)."""
+        nonlocal end, n_batches
+        metrics, labels_host = pending_item
         if split == "train":
-            rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, imgs, labels, sub)
             y_hat = np.argmax(np.asarray(metrics["probs"]), axis=1)
         else:
-            metrics = step_fn(state, imgs, labels)
             y_hat = np.asarray(metrics["y_hat"])
-
         loss = float(np.asarray(metrics["loss"]))
-        sam.update_metrics(y_hat, np.asarray(labels), num_classes=cfg.num_ce_classes)
-        loss_meter.update(loss, n=labels.shape[0])
+        sam.update_metrics(y_hat, labels_host, num_classes=cfg.num_ce_classes)
+        loss_meter.update(loss, n=labels_host.shape[0])
         batch_time.update(time.time() - end)
         end = time.time()
         n_batches += 1
@@ -69,8 +66,28 @@ def run_epoch(
                 "[%s] epoch %d batch %d loss %.4f mAcc %.4f (%.2fs/batch)",
                 split, epoch, n_batches, loss, running_mAcc, batch_time.avg,
             )
-        if max_batches is not None and n_batches >= max_batches:
+
+    for imgs, labels, _ in dataset.iter_batches(
+        cfg.batch_size, shuffle=(split == "train"), seed=epoch
+    ):
+        labels_host = np.asarray(labels)
+        if mesh is not None and imgs.shape[0] % mesh.size == 0:
+            imgs, labels = shard_batch(mesh, (imgs, labels))
+        # Dispatch this step asynchronously, THEN fetch the previous step's
+        # metrics: the host loads/transfers batch k+1 and drains step k's
+        # results while the device runs step k (single-buffer lookahead).
+        if split == "train":
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, imgs, labels, sub)
+        else:
+            metrics = step_fn(state, imgs, labels)
+        if pending is not None:
+            _consume(pending)
+        pending = (metrics, labels_host)
+        if max_batches is not None and n_batches + 1 >= max_batches:
             break
+    if pending is not None:
+        _consume(pending)
 
     _, accuracy_class, _, mAcc, _ = sam.get_metrics()
     metrics_dict = {
