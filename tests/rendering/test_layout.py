@@ -118,3 +118,44 @@ class TestSurfaceRowWindow:
         assert surface_row_window(512, (-np.inf, -1.0), 80 / 512) == (256, 432)
         assert surface_row_window(512, (0.5, np.inf), 80 / 512) == (80, 256)
         assert surface_row_window(512, (-2.0, 2.0), 80 / 512) == (80, 432)
+
+
+class TestIdentityBankConsistency:
+    def test_bank_render_equals_pair_img2(self) -> None:
+        """render_identity_batched must produce exactly the img2 half of the
+        pair render — the fused pipeline's bank substitutes for it."""
+        import jax.numpy as jnp
+
+        from salve_tpu.rendering import bev_pair
+
+        rng = np.random.default_rng(3)
+        B = 2
+        d1 = jnp.asarray(rng.uniform(800, 4000, (B, 64, 128)).astype(np.float32))
+        r1 = jnp.asarray(rng.uniform(0, 1, (B, 64, 128, 3)).astype(np.float32))
+        d2 = jnp.asarray(rng.uniform(800, 4000, (B, 64, 128)).astype(np.float32))
+        r2 = jnp.asarray(rng.uniform(0, 1, (B, 64, 128, 3)).astype(np.float32))
+        R = jnp.asarray(np.tile(np.eye(2, dtype=np.float32), (B, 1, 1)))
+        t = jnp.asarray(rng.uniform(-1, 1, (B, 2)).astype(np.float32))
+        cfg = bev_pair.BEVRenderConfig(img_px=100)
+
+        for z_range in [(-np.inf, -1.0), (0.5, np.inf)]:
+            _, img2 = bev_pair._render_pairs_batched(d1, r1, d2, r2, R, t, z_range, cfg)
+            bank = bev_pair.render_identity_batched(d2, r2, z_range, cfg)
+            np.testing.assert_array_equal(np.asarray(bank), np.asarray(img2))
+
+    def test_transformed_render_equals_pair_img1(self) -> None:
+        import jax.numpy as jnp
+
+        from salve_tpu.rendering import bev_pair
+
+        rng = np.random.default_rng(4)
+        B = 2
+        d1 = jnp.asarray(rng.uniform(800, 4000, (B, 64, 128)).astype(np.float32))
+        r1 = jnp.asarray(rng.uniform(0, 1, (B, 64, 128, 3)).astype(np.float32))
+        R = jnp.asarray(np.tile(np.eye(2, dtype=np.float32), (B, 1, 1)))
+        t = jnp.asarray(rng.uniform(-1, 1, (B, 2)).astype(np.float32))
+        cfg = bev_pair.BEVRenderConfig(img_px=100)
+
+        img1, _ = bev_pair._render_pairs_batched(d1, r1, d1, r1, R, t, (-np.inf, -1.0), cfg)
+        moved = bev_pair.render_transformed_batched(d1, r1, R, t, (-np.inf, -1.0), cfg)
+        np.testing.assert_array_equal(np.asarray(moved), np.asarray(img1))
