@@ -102,7 +102,7 @@ def score_floor_hypotheses(
     rgbs: np.ndarray,
     pano_id_to_bank_row: Dict[int, int],
     hypotheses: List[Tuple[int, int, object]],
-    batch_size: int = 8,
+    batch_size: int = 32,
     render_cfg: BEVRenderConfig = BEVRenderConfig(),
 ) -> List[ScoredHypothesis]:
     """Score every (i1, i2, AlignmentHypothesis) of a floor on device.
