@@ -217,6 +217,15 @@ def hallucination_mask(
     return counts > 0.5
 
 
+# Above this batch, the vmapped fill kernel's Mosaic scoped-VMEM stack can
+# exceed the 16MB limit when composed into larger programs (observed
+# 17.34M OOMs at 64+ in-composition, while <=32 compiled and ran in every
+# composition tested; chunking into multiple kernel instances does NOT
+# help — their scoped allocations stack). Larger batches silently take the
+# XLA conv path, which works at any size.
+_PALLAS_FILL_MAX_BATCH = 32
+
+
 def _use_pallas_fill() -> bool:
     """Route texture-map fill through the Pallas VMEM kernel on TPU backends.
 
@@ -274,9 +283,10 @@ def render_bev_images_batched(
         interp = nearest_fill(sparse, occupied)
         mask = hallucination_mask(sparse_u8)
         out = jnp.where(mask[..., None], interp, 0.0)
-    elif _use_pallas_fill():
+    elif _use_pallas_fill() and sparse.shape[0] <= _PALLAS_FILL_MAX_BATCH:
         # VMEM-resident fused fill+mask kernel: 6.3x the XLA conv path on
-        # TPU (43.5 vs 273 ms / 64 images), bit-compatible to float rounding.
+        # TPU, bit-identical output (see _PALLAS_FILL_MAX_BATCH for the
+        # batch gate).
         from salve_tpu.ops.pallas_fill import fill_and_mask
 
         support = jnp.all(sparse_u8 > 0, axis=-1)
