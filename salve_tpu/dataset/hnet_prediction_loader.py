@@ -21,8 +21,13 @@ IMG_W = 1024
 
 
 def get_pano_fpath_from_pano_index(i: int, raw_dataset_dir: str, building_id: str) -> str:
-    """Resolve a pano image path from its integer index (filename-suffix match)."""
-    candidates = glob.glob(f"{raw_dataset_dir}/{building_id}/panos/*_{i}.jpg")
+    """Resolve a pano image path from its integer index.
+
+    Same glob as the reference (salve/dataset/zind_data.py:42) — the
+    `floor*_pano_{i}.jpg` pattern is anchored so pano 5 cannot match pano 15.
+    Unlike the reference we tolerate a missing image (Stage A never opens it).
+    """
+    candidates = glob.glob(f"{raw_dataset_dir}/{building_id}/panos/floor*_pano_{i}.jpg")
     return candidates[0] if candidates else f"{raw_dataset_dir}/{building_id}/panos/pano_{i}.jpg"
 
 
@@ -61,12 +66,20 @@ def load_hnet_predictions(
 
 
 def load_vanishing_angles(predictions_data_root: str, building_id: str) -> Dict[int, float]:
-    """Per-pano precomputed vanishing angles (degrees); empty if not provided."""
+    """Per-pano precomputed vanishing angles (degrees); empty if not provided.
+
+    Accepts both wire formats: a JSON array indexed by pano id (what the
+    reference loader requires — salve/dataset/hnet_prediction_loader.py:153
+    indexes it with an int) and a {pano_id: angle} object.
+    """
     json_fpath = Path(predictions_data_root) / "vanishing_angle" / f"{building_id}.json"
     if not json_fpath.exists():
         return {}
     with open(json_fpath, "r") as f:
-        return {int(k): v for k, v in json.load(f).items()}
+        data = json.load(f)
+    if isinstance(data, list):
+        return {i: v for i, v in enumerate(data)}
+    return {int(k): v for k, v in data.items()}
 
 
 def load_inferred_floor_pose_graphs(

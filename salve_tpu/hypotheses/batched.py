@@ -171,8 +171,15 @@ def align_floor_pairs_batched(
             for wi, wj, c in idxs:
                 out[(i1, i2)].append(
                     AlignmentHypothesis(
-                        i2Ti1=Sim2(R=R[e, wi, wj, c].astype(np.float64),
-                                   t=t[e, wi, wj, c].astype(np.float64), s=1.0),
+                        # The device product (f32) decides which candidates
+                        # survive; the serialized transform itself is refit on
+                        # host in f64 from the two W/D/O endpoints so outputs
+                        # are bit-identical to the reference's per-candidate
+                        # path (cost: a closed-form 2-point fit per survivor).
+                        i2Ti1=_host_refit_se2(
+                            pano_dict[i2], pano_dict[i1], attr, int(wj), int(wi),
+                            config_names[c],
+                        ),
                         wdo_alignment_object=obj_type,
                         i1_wdo_idx=int(wi),
                         i2_wdo_idx=int(wj),
@@ -180,3 +187,20 @@ def align_floor_pairs_batched(
                     )
                 )
     return out
+
+
+def _host_refit_se2(
+    pano2: PanoData, pano1: PanoData, attr: str, wj: int, wi: int, configuration: str
+) -> Sim2:
+    """f64 closed-form SE(2) refit of one surviving candidate (host path parity)."""
+    from salve_tpu.geometry.point_alignment import align_points_SE2
+
+    pano1_wd = getattr(pano1, attr)[wi]
+    pano2_wd = getattr(pano2, attr)[wj]
+    if configuration == "rotated":
+        pano2_wd = pano2_wd.get_rotated_version()
+    i2Ti1, _ = align_points_SE2(
+        pano2_wd.polygon_vertices_local_3d[:, :2],
+        pano1_wd.polygon_vertices_local_3d[:, :2],
+    )
+    return i2Ti1
