@@ -101,7 +101,7 @@ class PanoDepthNet(nn.Module):
 
     @nn.compact
     def __call__(self, rgb, train: bool = False):
-        b = rgb.shape[0]
+        b, in_h, in_w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
         feats = _Trunk(self.num_layers, self.compute_dtype)(rgb, train=train)
         # (B, 16, 32, 2048) for 512x1024 input with ResNet-50.
         _, fh, fw, fc = feats.shape
@@ -124,9 +124,9 @@ class PanoDepthNet(nn.Module):
         seq = nn.LayerNorm(dtype=self.compute_dtype)(seq)
 
         # Column-to-dense decoder: each 1D feature expands to a
-        # (PANO_H, W-upsample) tile of its pano column.
-        up_w = PANO_W // fw  # 32
-        rows = PANO_H
+        # (in_h, W-upsample) tile of its pano column.
+        up_w = in_w // fw  # 32 at full 512x1024 resolution
+        rows = in_h
         out = nn.Dense(rows * up_w, dtype=self.compute_dtype, name="dense_decode")(seq)
         out = out.reshape(b, fw, rows, up_w)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, rows, fw * up_w)
@@ -157,38 +157,18 @@ def synthesize_depth_from_layout(
     Walls are vertical prisms over the floor polygon; floor at
     -camera_height_m, ceiling at +(ceiling_height_m - camera_height_m).
     Uses the HoHoNet ray convention (geometry.pano_projection.get_uni_sphere_xyz).
+    Thin wrapper over rendering.synthetic.raycast_layout (single source of
+    truth for the prism intersection math).
     """
-    from salve_tpu.geometry.pano_projection import get_uni_sphere_xyz
+    from salve_tpu.rendering.synthetic import raycast_layout
 
-    rays = get_uni_sphere_xyz(h, w)  # (h,w,3)
-    ring = np.asarray(room_vertices, dtype=np.float64)
-    a = ring
-    b = np.roll(ring, -1, axis=0)
-
-    dx = rays[..., 0][..., None]  # (h,w,1)
-    dy = rays[..., 1][..., None]
-    e = b - a  # (E,2)
-    denom = dx * (-e[:, 1]) + dy * e[:, 0]
-    rhs_x, rhs_y = a[:, 0], a[:, 1]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t_wall = (rhs_x * (-e[:, 1]) + rhs_y * e[:, 0]) / denom
-        s = (dx * rhs_y - dy * rhs_x) / denom
-    valid = (np.abs(denom) > 1e-12) & (t_wall > 1e-6) & (s >= 0) & (s <= 1)
-    t_wall = np.where(valid, t_wall, np.inf)
-    t_wall = t_wall.min(axis=-1)  # (h,w) horizontal range to nearest wall
-
-    dz = rays[..., 2]
-    z_floor = -camera_height_m
-    z_ceil = ceiling_height_m - camera_height_m
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t_floor = np.where(dz < -1e-6, z_floor / dz, np.inf)
-        t_ceil = np.where(dz > 1e-6, z_ceil / dz, np.inf)
-
-    horiz = np.linalg.norm(rays[..., :2], axis=-1)
-    t_wall_3d = np.where(horiz > 1e-9, t_wall / np.maximum(horiz, 1e-9), np.inf)
-
-    depth = np.minimum(np.minimum(t_floor, t_ceil), t_wall_3d)
-    return np.clip(depth, 0.0, 65.0)
+    return raycast_layout(
+        np.asarray(room_vertices, dtype=np.float64),
+        camera_height_m=camera_height_m,
+        ceiling_height_m=ceiling_height_m,
+        h=h,
+        w=w,
+    )["depth"]
 
 
 def make_depth_provider(params, batch_stats=None, num_layers: int = 50):

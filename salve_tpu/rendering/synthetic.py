@@ -1,0 +1,203 @@
+"""Synthetic equirect panos ray-cast from ZInD GT room layouts.
+
+The reference pipeline consumes real ZInD pano JPGs, which are not
+redistributable and absent from the test fixtures — only the GT layout
+geometry ships (tests/test_data/ZInD/*/zind_data.json). This module closes
+the gap: it ray-casts a room layout (floor polygon + camera/ceiling heights)
+into a textured equirectangular RGB pano together with *exact* metric depth
+along every ray.
+
+That pairing powers three things that need ground truth the fixtures lack:
+  1. training + measuring the monocular depth net (models/depth_net.py),
+  2. the interpolation-drift harness (renders with controlled point clouds),
+  3. end-to-end pipeline runs (hypotheses -> depth -> BEV -> verifier -> SfM)
+     with a fully consistent world.
+
+Ray convention matches the production backprojection chain
+(geometry/pano_projection.py:get_uni_sphere_xyz, the HoHoNet convention the
+reference uses in salve/utils/hohonet_pano_utils.py:10), so a BEV render of
+a synthetic pano reproduces the room's floor plan exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from salve_tpu.geometry.pano_projection import get_uni_sphere_xyz
+
+PANO_H, PANO_W = 512, 1024
+
+FLOOR, CEILING, WALL = 0, 1, 2
+
+
+def raycast_layout(
+    room_vertices_m: np.ndarray,
+    camera_height_m: float,
+    ceiling_height_m: float,
+    h: int = PANO_H,
+    w: int = PANO_W,
+) -> Dict[str, np.ndarray]:
+    """Cast every pano ray against a vertical-prism room model.
+
+    The room is the prism over the floor polygon `room_vertices_m` (metric,
+    camera at origin) between z=-camera_height_m (floor) and
+    z=ceiling_height_m - camera_height_m (ceiling).
+
+    Returns dict with:
+        depth:    (h,w) metric distance along the ray to the first hit.
+        surface:  (h,w) int8 in {FLOOR, CEILING, WALL}.
+        hit_xyz:  (h,w,3) hit point, camera frame.
+        wall_edge:(h,w) int32 polygon-edge index of wall hits (else -1).
+        wall_s:   (h,w) metric arc length along that edge at the hit.
+    """
+    rays = get_uni_sphere_xyz(h, w)  # (h,w,3), unit
+    ring = np.asarray(room_vertices_m, dtype=np.float64)
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    e = b - a  # (E,2)
+    e_len = np.linalg.norm(e, axis=1)
+
+    dx = rays[..., 0][..., None]
+    dy = rays[..., 1][..., None]
+    # Ray (t*dx, t*dy) meets segment a + s*e: solve the 2x2 system.
+    denom = dx * (-e[:, 1]) + dy * e[:, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (a[:, 0] * (-e[:, 1]) + a[:, 1] * e[:, 0]) / denom
+        s = (dx * a[:, 1] - dy * a[:, 0]) / denom
+    hit = (np.abs(denom) > 1e-12) & (t > 1e-6) & (s >= 0.0) & (s <= 1.0)
+    t = np.where(hit, t, np.inf)
+    edge_idx = np.argmin(t, axis=-1).astype(np.int32)  # (h,w)
+    t_wall = np.take_along_axis(t, edge_idx[..., None], axis=-1)[..., 0]
+    s_wall = np.take_along_axis(
+        np.where(hit, s, 0.0), edge_idx[..., None], axis=-1
+    )[..., 0]
+
+    # t parametrizes the unit 3D ray directly (its xy components were used in
+    # the 2D solve), so t_wall is already metric distance along the ray.
+    t_wall_3d = t_wall
+
+    dz = rays[..., 2]
+    z_floor = -float(camera_height_m)
+    z_ceil = float(ceiling_height_m) - float(camera_height_m)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_floor = np.where(dz < -1e-6, z_floor / dz, np.inf)
+        t_ceil = np.where(dz > 1e-6, z_ceil / dz, np.inf)
+
+    # The wall hit only counts while its z lies within [floor, ceiling];
+    # beyond that the floor/ceiling plane is hit first anyway because the
+    # room is convex in z — min() implements exactly that.
+    depth = np.minimum(np.minimum(t_floor, t_ceil), t_wall_3d)
+    surface = np.where(
+        depth == t_wall_3d, WALL, np.where(depth == t_floor, FLOOR, CEILING)
+    ).astype(np.int8)
+    depth = np.clip(depth, 0.0, 65.0)
+
+    hit_xyz = rays * depth[..., None]
+    wall_edge = np.where(surface == WALL, edge_idx, -1).astype(np.int32)
+    wall_s = np.where(surface == WALL, s_wall * e_len[edge_idx], 0.0)
+    return {
+        "depth": depth.astype(np.float32),
+        "surface": surface,
+        "hit_xyz": hit_xyz.astype(np.float32),
+        "wall_edge": wall_edge,
+        "wall_s": wall_s.astype(np.float32),
+    }
+
+
+def _hash01(*ints: int) -> float:
+    """Deterministic [0,1) hash of small integers (texture randomization)."""
+    x = np.uint64(2166136261)
+    for i in ints:
+        x = np.uint64((int(x) ^ (int(i) & 0xFFFFFFFF)) * 16777619 & 0xFFFFFFFFFFFFFFFF)
+    return float(int(x) % 100003) / 100003.0
+
+
+def render_synthetic_pano(
+    room_vertices_m: np.ndarray,
+    camera_height_m: float,
+    ceiling_height_m: Optional[float] = None,
+    h: int = PANO_H,
+    w: int = PANO_W,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Textured synthetic pano + exact depth for a room layout.
+
+    Textures are procedural but scale-anchored (0.5 m floor checker, 0.25 m
+    wall stripes, baseboards, per-edge hues), so both monocular depth cues
+    and BEV texture matching carry real signal.
+
+    Returns dict with 'rgb' (h,w,3) uint8 and everything raycast_layout emits.
+    """
+    if ceiling_height_m is None:
+        ceiling_height_m = 2.0 * camera_height_m
+    cast = raycast_layout(room_vertices_m, camera_height_m, ceiling_height_m, h, w)
+    depth, surface = cast["depth"], cast["surface"]
+    xyz = cast["hit_xyz"]
+    edge, s_arc = cast["wall_edge"], cast["wall_s"]
+
+    rng = np.random.default_rng(seed)
+    rgb = np.zeros((h, w, 3), dtype=np.float64)
+
+    # Floor: 0.5 m checkerboard over two warm wood tones + plank stripes.
+    base_a = np.array([139, 105, 74]) + rng.integers(-15, 15, 3)
+    base_b = np.array([168, 135, 100]) + rng.integers(-15, 15, 3)
+    checker = ((np.floor(xyz[..., 0] / 0.5) + np.floor(xyz[..., 1] / 0.5)) % 2).astype(bool)
+    plank = (np.floor(xyz[..., 1] / 0.12) % 2).astype(bool)
+    floor_col = np.where(checker[..., None], base_a, base_b) * np.where(
+        plank[..., None], 1.0, 0.92
+    )
+    rgb = np.where((surface == FLOOR)[..., None], floor_col, rgb)
+
+    # Ceiling: light neutral with a slow plaster gradient.
+    ceil_base = np.array([228, 226, 220]) + rng.integers(-8, 8, 3)
+    grad = 1.0 - 0.05 * np.abs(np.sin(xyz[..., 0] * 0.7) + np.cos(xyz[..., 1] * 0.9)) / 2
+    rgb = np.where((surface == CEILING)[..., None], ceil_base * grad[..., None], rgb)
+
+    # Walls: per-edge hue + 0.25 m stripes in arc length + baseboard band.
+    n_edges = len(np.asarray(room_vertices_m))
+    hue_lut = np.array(
+        [
+            [
+                140 + 90 * _hash01(seed, k, 1),
+                140 + 90 * _hash01(seed, k, 2),
+                130 + 90 * _hash01(seed, k, 3),
+            ]
+            for k in range(max(n_edges, 1))
+        ]
+    )
+    wall_base = hue_lut[np.clip(edge, 0, n_edges - 1)]
+    stripe = (np.floor(s_arc / 0.25) % 2).astype(bool)
+    z = xyz[..., 2]
+    baseboard = z < (-camera_height_m + 0.12)
+    crown = z > (ceiling_height_m - camera_height_m - 0.10)
+    wall_col = wall_base * np.where(stripe[..., None], 1.0, 0.90)
+    wall_col = np.where(baseboard[..., None], np.array([70.0, 60, 55]), wall_col)
+    wall_col = np.where(crown[..., None], np.array([210.0, 208, 200]), wall_col)
+    rgb = np.where((surface == WALL)[..., None], wall_col, rgb)
+
+    # Distance shading (cheap ambient falloff) + sensor noise.
+    shade = 1.0 / (1.0 + 0.035 * depth)
+    rgb = rgb * shade[..., None]
+    rgb = rgb + rng.normal(0.0, 2.5, rgb.shape)
+    out = dict(cast)
+    out["rgb"] = np.clip(rgb, 0, 255).astype(np.uint8)
+    return out
+
+
+def synthetic_pano_for_pano_data(pano, camera_height_m: float, seed: Optional[int] = None):
+    """Convenience: synthetic pano for a PanoData (ego-normalized layout).
+
+    ZInD layouts are ego-normalized (camera height == 1 unit,
+    salve/common/pano_data.py parse asserts camera_height == 1.0), so metric
+    vertices are layout * camera_height_m.
+    """
+    verts_m = np.asarray(pano.room_vertices_local_2d, dtype=np.float64) * float(
+        camera_height_m
+    )
+    return render_synthetic_pano(
+        verts_m,
+        camera_height_m=camera_height_m,
+        seed=int(pano.id) if seed is None else seed,
+    )

@@ -1,0 +1,80 @@
+"""Synthetic pano raycaster: geometric ground-truth checks."""
+
+import numpy as np
+import pytest
+
+from salve_tpu.rendering import synthetic
+
+
+SQUARE = np.array([[-2.0, -2.0], [2.0, -2.0], [2.0, 2.0], [-2.0, 2.0]])
+
+
+def test_raycast_square_room_geometry():
+    cam_h, ceil_h = 1.5, 3.0
+    cast = synthetic.raycast_layout(SQUARE, cam_h, ceil_h, h=128, w=256)
+    depth, surface = cast["depth"], cast["surface"]
+
+    # Nadir ray (bottom row) looks straight down: depth ~ camera height.
+    assert np.isclose(depth[-1, 0], cam_h, atol=0.02)
+    assert surface[-1, 0] == synthetic.FLOOR
+    # Zenith ray: ceiling at ceil_h - cam_h.
+    assert np.isclose(depth[0, 0], ceil_h - cam_h, atol=0.02)
+    assert surface[0, 0] == synthetic.CEILING
+    # Horizon row: wall hit, horizontal distance between 2 (axis) and 2*sqrt(2).
+    mid = depth.shape[0] // 2
+    assert surface[mid].min() == synthetic.WALL == surface[mid].max()
+    assert depth[mid].min() >= 2.0 - 0.05
+    assert depth[mid].max() <= 2 * np.sqrt(2) + 0.05
+
+    # Hit points lie inside the room prism.
+    xyz = cast["hit_xyz"]
+    assert xyz[..., 2].min() >= -cam_h - 1e-3
+    assert xyz[..., 2].max() <= ceil_h - cam_h + 1e-3
+    assert np.abs(xyz[..., 0]).max() <= 2.0 + 1e-3
+    assert np.abs(xyz[..., 1]).max() <= 2.0 + 1e-3
+
+
+def test_raycast_matches_depth_net_synthesizer():
+    """models.depth_net.synthesize_depth_from_layout and raycast_layout agree."""
+    from salve_tpu.models.depth_net import synthesize_depth_from_layout
+
+    cam_h, ceil_h = 1.2, 2.9
+    ring = np.array([[-1.5, -2.0], [2.5, -2.0], [2.5, 1.0], [0.5, 1.0], [0.5, 2.2], [-1.5, 2.2]])
+    a = synthetic.raycast_layout(ring, cam_h, ceil_h, h=64, w=128)["depth"]
+    b = synthesize_depth_from_layout(ring, cam_h, ceil_h, h=64, w=128)
+    assert np.allclose(a, b, atol=1e-4)
+
+
+def test_render_synthetic_pano_texture_and_determinism():
+    out1 = synthetic.render_synthetic_pano(SQUARE, 1.5, seed=7, h=64, w=128)
+    out2 = synthetic.render_synthetic_pano(SQUARE, 1.5, seed=7, h=64, w=128)
+    out3 = synthetic.render_synthetic_pano(SQUARE, 1.5, seed=8, h=64, w=128)
+    assert out1["rgb"].dtype == np.uint8 and out1["rgb"].shape == (64, 128, 3)
+    assert np.array_equal(out1["rgb"], out2["rgb"])
+    assert not np.array_equal(out1["rgb"], out3["rgb"])
+    # Textures must carry signal (not a constant image).
+    assert out1["rgb"].std() > 10
+
+
+def test_synthetic_pano_bev_consistency():
+    """Backprojecting the synthetic depth must reproduce the room footprint."""
+    cam_h = 1.4
+    out = synthetic.render_synthetic_pano(SQUARE, cam_h, h=128, w=256, seed=0)
+    xyz = out["hit_xyz"]
+    floor = out["surface"] == synthetic.FLOOR
+    # All floor hits lie within the polygon bounds; their z is the floor plane.
+    assert np.abs(xyz[floor][:, :2]).max() <= 2.0 + 1e-3
+    assert np.allclose(xyz[floor][:, 2], -cam_h, atol=1e-3)
+
+
+def test_synthetic_pano_for_pano_data_scales_layout(ref_test_data):
+    """Ego-normalized fixture layouts are scaled to metric by camera height."""
+    from salve_tpu.common import posegraph2d
+
+    pg = posegraph2d.get_gt_pose_graph("0000", "floor_01", str(ref_test_data / "ZInD"))
+    pid = sorted(pg.nodes)[0]
+    cam_h = pg.get_camera_height_m(pid)
+    out = synthetic.synthetic_pano_for_pano_data(pg.nodes[pid], cam_h)
+    assert out["rgb"].shape == (512, 1024, 3)
+    # Nadir depth equals the metric camera height.
+    assert np.isclose(out["depth"][-1, 0], cam_h, atol=0.02)

