@@ -203,6 +203,64 @@ def nearest_fill(
     return img
 
 
+def convex_hull_mask(occupied: jnp.ndarray, n_directions: int = 64) -> jnp.ndarray:
+    """(..., H, W) bool: pixels inside the convex hull of occupied cells.
+
+    Qhull Delaunay interpolation (the reference's griddata(method='linear'),
+    salve/utils/interpolation_utils.py:46) only produces values inside the
+    convex hull of its sites; without this mask the dilation fill paints a
+    ~5px rim outside the hull that the reference leaves black (measured in
+    tests/parity/test_interpolation_drift.py).
+
+    Exact up to an outer D-gon approximation of the hull. Near-free on
+    device: every hull vertex is a per-row support extreme, so the D support
+    maxima reduce over (rows x 2) candidate points, and the inside test
+    collapses to one x-interval per row — no convolutions, no (H,W,D)
+    tensors.
+    """
+    batch = occupied.shape[:-2]
+    H, W = occupied.shape[-2:]
+    occ = occupied.reshape((-1, H, W))
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    big = jnp.float32(1e9)
+    xmin = jnp.min(jnp.where(occ, xs[None, None, :], big), axis=2)  # (B,H)
+    xmax = jnp.max(jnp.where(occ, xs[None, None, :], -big), axis=2)  # (B,H)
+    row_has = jnp.any(occ, axis=2)
+
+    theta = jnp.arange(n_directions, dtype=jnp.float32) * (
+        2.0 * jnp.pi / n_directions
+    )
+    cos, sin = jnp.cos(theta), jnp.sin(theta)  # (D,)
+
+    # Support's max projection per direction, from the row-extreme points.
+    ext_x = jnp.stack([xmin, xmax], axis=-1)  # (B,H,2)
+    proj = ext_x[..., None] * cos + ys[None, :, None, None] * sin  # (B,H,2,D)
+    proj = jnp.where(row_has[..., None, None], proj, -big)
+    h = jnp.max(proj, axis=(1, 2))  # (B,D)
+
+    # Constraint per row y: x*cos_d <= h_d - y*sin_d for every direction d.
+    t = h[:, None, :] - ys[None, :, None] * sin  # (B,H,D)
+    eps = 1e-4
+    pos = cos > eps
+    neg = cos < -eps
+    xhi = jnp.min(jnp.where(pos, t / jnp.where(pos, cos, 1.0), big), axis=-1)
+    xlo = jnp.max(jnp.where(neg, t / jnp.where(neg, cos, 1.0), -big), axis=-1)
+    # Near-vertical directions constrain the row itself.
+    row_ok = jnp.all(
+        jnp.where(jnp.abs(cos) <= eps, t >= -eps, True), axis=-1
+    )
+    tol = jnp.float32(1e-3)
+    # Note: rows with no direct support can still be inside the hull (the
+    # vertical-direction constraints in row_ok bound the hull's y-extent).
+    mask = (
+        row_ok[..., None]
+        & (xs[None, None, :] >= xlo[..., None] - tol)
+        & (xs[None, None, :] <= xhi[..., None] + tol)
+    )
+    return mask.reshape(batch + (H, W))
+
+
 def hallucination_mask(
     sparse_img_u8: jnp.ndarray, k: int = DEFAULT_MASK_KERNEL
 ) -> jnp.ndarray:
@@ -280,21 +338,29 @@ def render_bev_images_batched(
     sparse_u8 = jnp.clip(jnp.round(sparse), 0, 255).astype(jnp.uint8)
 
     if is_semantics:
+        # Reference nearest-neighbor griddata fills the whole grid before
+        # masking (no hull restriction), so none is applied here either.
         interp = nearest_fill(sparse, occupied)
         mask = hallucination_mask(sparse_u8)
         out = jnp.where(mask[..., None], interp, 0.0)
-    elif _use_pallas_fill() and sparse.shape[0] <= _PALLAS_FILL_MAX_BATCH:
-        # VMEM-resident fused fill+mask kernel: 6.3x the XLA conv path on
-        # TPU, bit-identical output (see _PALLAS_FILL_MAX_BATCH for the
-        # batch gate).
-        from salve_tpu.ops.pallas_fill import fill_and_mask
-
-        support = jnp.all(sparse_u8 > 0, axis=-1)
-        out = jax.vmap(fill_and_mask)(sparse, occupied, support)
     else:
-        interp = fill_holes(sparse, occupied)
-        mask = hallucination_mask(sparse_u8)
-        out = jnp.where(mask[..., None], interp, 0.0)
+        # Delaunay-linear griddata only fills inside the sites' convex hull;
+        # restrict the dilation fill the same way (drift measured in
+        # tests/parity/test_interpolation_drift.py).
+        hull = convex_hull_mask(occupied)
+        if _use_pallas_fill() and sparse.shape[0] <= _PALLAS_FILL_MAX_BATCH:
+            # VMEM-resident fused fill+mask kernel: 6.3x the XLA conv path on
+            # TPU, bit-identical output (see _PALLAS_FILL_MAX_BATCH for the
+            # batch gate).
+            from salve_tpu.ops.pallas_fill import fill_and_mask
+
+            support = jnp.all(sparse_u8 > 0, axis=-1)
+            out = jax.vmap(fill_and_mask)(sparse, occupied, support)
+            out = jnp.where(hull[..., None], out, 0.0)
+        else:
+            interp = fill_holes(sparse, occupied)
+            mask = hallucination_mask(sparse_u8)
+            out = jnp.where((mask & hull)[..., None], interp, 0.0)
 
     out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     return out[:, ::-1]  # flipud, as in the reference
