@@ -1,0 +1,205 @@
+"""CLI: end-to-end accuracy evaluation on synthesized ZInD buildings.
+
+Runs the ENTIRE pipeline through its real file contracts — Stage A
+hypotheses -> depth cache -> Stage B BEV renders -> Stage C verifier
+training + inference -> Stage D reconstruction -> FloorReconstructionReport
+— and emits one JSON with verifier and reconstruction metrics.
+
+This is the round-2 accuracy harness (VERDICT items #3/#7/#9): the fixture
+geometry is redistributable but the imagery is not, so panos are ray-cast
+from GT layouts (rendering/synthetic.py). The verifier trains on the train-
+split building(s) and is scored on the held-out test building.
+
+No reference analog as a single script; it chains the same stages as the
+reference's README pipeline (export_alignment_hypotheses.py ->
+batch_hohonet_inference.py -> render_dataset_bev.py -> train.py -> test.py
+-> run_sfm.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import time
+from pathlib import Path
+
+import click
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@click.command(help="End-to-end accuracy run on synthesized fixture buildings.")
+@click.option("--src_zind_dir", type=click.Path(exists=True),
+              default="/root/reference/tests/test_data/ZInD")
+@click.option("--output_dir", type=str, required=True)
+@click.option("--train_building", type=str, default="0000")
+@click.option("--eval_building", type=str, default="1210")
+@click.option("--num_layers", type=int, default=18)
+@click.option("--num_epochs", type=int, default=8)
+@click.option("--batch_size", type=int, default=16)
+@click.option("--resize_px", type=int, default=128)
+@click.option("--crop_px", type=int, default=112)
+@click.option("--depth_ckpt", type=str, default=None,
+              help="Trained PanoDepthNet msgpack; default uses exact GT depth.")
+@click.option("--depth_num_layers", type=int, default=50)
+@click.option("--confidence_threshold", type=float, default=0.5)
+@click.option("--method", type=str, default="pose2_slam")
+def run_end_to_end_eval(
+    src_zind_dir, output_dir, train_building, eval_building, num_layers,
+    num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
+    confidence_threshold, method,
+) -> None:
+    logging.basicConfig(level=logging.INFO)
+    t_start = time.time()
+    out = Path(output_dir)
+    raw_dir, depth_root = out / "zind", out / "depth"
+    hyp_root, bev_root = out / "hypotheses", out / "bev"
+    preds_dir, plots_dir = out / "preds", out / "plots"
+    for d in (raw_dir, depth_root, hyp_root, bev_root, preds_dir, plots_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    from salve_tpu.common import posegraph2d
+    from salve_tpu.dataset.synthetic_zind import materialize_synthetic_building
+    from salve_tpu.hypotheses.export import (
+        export_single_building_wdo_alignment_hypotheses,
+    )
+    from salve_tpu.rendering.dataset_renderer import render_building_floor_pairs
+    from salve_tpu.training.config import TrainingConfig
+    from salve_tpu.training import loop as train_loop
+
+    depth_provider = None
+    if depth_ckpt:
+        import flax
+        import jax
+
+        from salve_tpu.models.depth_net import PanoDepthNet, make_depth_provider
+        from salve_tpu.training.depth import create_depth_train_state
+
+        state = create_depth_train_state(
+            jax.random.PRNGKey(0), num_layers=depth_num_layers
+        )
+        with open(depth_ckpt, "rb") as f:
+            restored = flax.serialization.from_bytes(
+                {"params": state.params, "batch_stats": state.batch_stats}, f.read()
+            )
+        raw_provider = make_depth_provider(
+            restored["params"], restored["batch_stats"], num_layers=depth_num_layers
+        )
+        depth_provider = lambda rgb: raw_provider(rgb / 255.0)  # noqa: E731
+
+    buildings = sorted({train_building, eval_building})
+    timings = {}
+    for bid in buildings:
+        t0 = time.time()
+        floors = materialize_synthetic_building(
+            src_zind_dir, bid, str(raw_dir),
+            depth_save_root=str(depth_root), depth_provider=depth_provider,
+        )
+        timings[f"materialize_{bid}_s"] = round(time.time() - t0, 2)
+        logger.info("materialized %s: %s", bid, floors)
+
+        t0 = time.time()
+        export_single_building_wdo_alignment_hypotheses(
+            hypotheses_save_root=str(hyp_root),
+            building_id=bid,
+            json_annot_fpath=str(raw_dir / bid / "zind_data.json"),
+            raw_dataset_dir=str(raw_dir),
+            use_inferred_wdos_layout=False,
+        )
+        timings[f"stage_a_{bid}_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        n_pairs = 0
+        for floor_id in posegraph2d.compute_available_floors_for_building(
+            bid, str(raw_dir)
+        ):
+            n_pairs += render_building_floor_pairs(
+                depth_save_root=str(depth_root),
+                bev_save_root=str(bev_root),
+                hypotheses_save_root=str(hyp_root),
+                raw_dataset_dir=str(raw_dir),
+                building_id=bid,
+                floor_id=floor_id,
+            )
+        timings[f"stage_b_{bid}_s"] = round(time.time() - t0, 2)
+        logger.info("rendered %d pairs for %s", n_pairs, bid)
+
+    # --- Stage C: train on the train split, score the test split. ---------
+    cfg = TrainingConfig(
+        num_layers=num_layers,
+        resize_h=resize_px, resize_w=resize_px,
+        train_h=crop_px, train_w=crop_px,
+        batch_size=batch_size,
+        num_epochs=num_epochs,
+        workers=4,
+        data_root=str(bev_root),
+        model_save_dirpath=str(out / "ckpts"),
+    )
+    t0 = time.time()
+    results = train_loop.train(cfg)
+    timings["stage_c_train_s"] = round(time.time() - t0, 2)
+
+    ckpts = sorted(glob.glob(str(out / "ckpts" / "*" / "train_ckpt.flax")))
+    assert ckpts, "training saved no checkpoint"
+    ckpt_fpath = ckpts[-1]
+
+    t0 = time.time()
+    prec, rec, mAcc = train_loop.evaluate(cfg, ckpt_fpath, "test", str(preds_dir))
+    timings["stage_c_eval_s"] = round(time.time() - t0, 2)
+    logger.info("verifier on test split: prec %.3f rec %.3f mAcc %.3f", prec, rec, mAcc)
+
+    # --- Stage D: reconstruction + metrics on the held-out building. ------
+    from salve_tpu.cli.run_sfm import run_incremental_reconstruction
+
+    t0 = time.time()
+    reports = run_incremental_reconstruction(
+        hypotheses_save_root=str(hyp_root),
+        serialized_preds_json_dir=str(preds_dir),
+        raw_dataset_dir=str(raw_dir),
+        method=method,
+        confidence_threshold=confidence_threshold,
+        use_axis_alignment=False,
+        allowed_wdo_types=["door", "window", "opening"],
+        predictions_data_root=None,
+        plot_save_dir=str(plots_dir),
+    )
+    timings["stage_d_s"] = round(time.time() - t0, 2)
+
+    summary = {
+        "train_building": train_building,
+        "eval_building": eval_building,
+        "verifier": {
+            "precision": float(prec),
+            "recall": float(rec),
+            "mAcc": float(mAcc),
+            "train_mAcc_last": float(results["train_mAcc"][-1]),
+            "val_mAcc_best": float(max(results["val_mAcc"])),
+            "num_layers": num_layers,
+            "num_epochs": num_epochs,
+        },
+        "depth": "model:" + depth_ckpt if depth_ckpt else "gt_raycast",
+        "reconstruction": [
+            {
+                "avg_abs_rot_err_deg": float(r.avg_abs_rot_err),
+                "avg_abs_trans_err": float(r.avg_abs_trans_err),
+                "percent_panos_localized": float(r.percent_panos_localized),
+                "floorplan_iou": float(r.floorplan_iou)
+                if r.floorplan_iou is not None and np.isfinite(r.floorplan_iou)
+                else None,
+            }
+            for r in reports
+        ],
+        "method": method,
+        "confidence_threshold": confidence_threshold,
+        "timings_s": timings,
+        "total_wallclock_s": round(time.time() - t_start, 2),
+    }
+    with open(out / "end_to_end_eval.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    run_end_to_end_eval()

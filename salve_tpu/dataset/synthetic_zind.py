@@ -1,0 +1,80 @@
+"""Materialize a ZInD-shaped building directory from GT geometry alone.
+
+Writes the exact on-disk layout the pipeline CLIs consume
+({building}/zind_data.json + {building}/panos/floor_XX_..._pano_{i}.jpg and
+the u16-mm depth cache), with imagery ray-cast from the GT layouts
+(rendering/synthetic.py). This turns the redistributable fixture geometry
+into a fully runnable dataset: Stage A..D and training all operate on it
+through their real file contracts.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from salve_tpu.common import posegraph2d
+
+
+def materialize_synthetic_building(
+    src_zind_dir: str,
+    building_id: str,
+    out_raw_dir: str,
+    depth_save_root: Optional[str] = None,
+    depth_provider: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    seed: int = 0,
+) -> Dict[str, int]:
+    """Write panos (+ optional depth cache) for one building.
+
+    Args:
+        src_zind_dir: directory holding {building_id}/zind_data.json (GT).
+        out_raw_dir: output raw-dataset root (ZInD shape).
+        depth_save_root: if set, also write {root}/{building}/{stem}.depth.png
+            u16 millimeter maps (the reference HoHoNet cache contract,
+            salve/utils/hohonet_inference.py:14).
+        depth_provider: optional (H,W,3) f32 RGB -> (H,W) f32 meters model;
+            default writes the exact ray-cast GT depth.
+        seed: texture seed base.
+
+    Returns:
+        {floor_id: n_panos} written.
+    """
+    import imageio.v2 as imageio
+
+    from salve_tpu.rendering.synthetic import synthetic_pano_for_pano_data
+
+    bdir = Path(out_raw_dir) / building_id
+    (bdir / "panos").mkdir(parents=True, exist_ok=True)
+    shutil.copy(
+        Path(src_zind_dir) / building_id / "zind_data.json", bdir / "zind_data.json"
+    )
+
+    written: Dict[str, int] = {}
+    floors = posegraph2d.compute_available_floors_for_building(
+        building_id, str(out_raw_dir)
+    )
+    for floor_id in floors:
+        pg = posegraph2d.get_gt_pose_graph(building_id, floor_id, str(out_raw_dir))
+        for i, pano in pg.nodes.items():
+            cam_h = pg.get_camera_height_m(i)
+            out = synthetic_pano_for_pano_data(pano, cam_h, seed=seed * 4093 + i)
+            stem = Path(pano.image_path).stem
+            imageio.imwrite(str(bdir / "panos" / f"{stem}.jpg"), out["rgb"])
+            if depth_save_root is not None:
+                ddir = Path(depth_save_root) / building_id
+                ddir.mkdir(parents=True, exist_ok=True)
+                if depth_provider is None:
+                    depth_m = out["depth"]
+                else:
+                    depth_m = np.asarray(
+                        depth_provider(out["rgb"].astype(np.float32))
+                    )
+                depth_mm = np.clip(np.round(depth_m * 1000.0), 0, 65535).astype(
+                    np.uint16
+                )
+                imageio.imwrite(str(ddir / f"{stem}.depth.png"), depth_mm)
+        written[floor_id] = len(pg.nodes)
+    return written

@@ -139,10 +139,16 @@ def train(
             for k, v in train_metrics.items():
                 results_dict[f"train_{k}"].append(v)
 
-            _, val_metrics = run_epoch(
-                cfg, epoch, state, eval_step, val_ds, "val",
-                max_batches=max_batches_per_epoch, mesh=mesh,
-            )
+            if len(val_ds) > 0:
+                _, val_metrics = run_epoch(
+                    cfg, epoch, state, eval_step, val_ds, "val",
+                    max_batches=max_batches_per_epoch, mesh=mesh,
+                )
+            else:
+                # No val-split buildings rendered (e.g. fixture-scale runs):
+                # fall back to train metrics for checkpoint selection.
+                logger.warning("val split is empty; selecting ckpt on train_mAcc")
+                val_metrics = train_metrics
             for k, v in val_metrics.items():
                 results_dict[f"val_{k}"].append(v)
 
