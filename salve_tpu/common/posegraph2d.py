@@ -57,6 +57,71 @@ class PoseGraph2d(NamedTuple):
         worldnormalized_s_egonormalized = self.nodes[pano_id].global_Sim2_local.scale
         return worldmetric_s_worldnormalized * worldnormalized_s_egonormalized
 
+    def as_json(self, json_fpath: str) -> None:
+        """Serialize the pose graph (poses + layouts) to JSON.
+
+        Parity: salve/common/posegraph2d.py:277 declares this API but raises
+        NotImplementedError; here it round-trips through from_json.
+        """
+        from salve_tpu.utils.io import save_json_file
+
+        data = {
+            "building_id": self.building_id,
+            "floor_id": self.floor_id,
+            "scale_meters_per_coordinate": float(self.scale_meters_per_coordinate),
+            "nodes": {
+                str(i): {
+                    "global_Sim2_local": {
+                        "R": pano.global_Sim2_local.rotation.flatten().tolist(),
+                        "t": pano.global_Sim2_local.translation.flatten().tolist(),
+                        "s": float(pano.global_Sim2_local.scale),
+                    },
+                    "room_vertices_local_2d": np.asarray(
+                        pano.room_vertices_local_2d, dtype=float
+                    ).tolist(),
+                    "image_path": pano.image_path,
+                    "label": pano.label,
+                }
+                for i, pano in self.nodes.items()
+            },
+        }
+        save_json_file(json_fpath, data)
+
+    @classmethod
+    def from_json(cls, json_fpath: str) -> "PoseGraph2d":
+        """Inverse of as_json."""
+        from salve_tpu.utils.io import read_json_file
+
+        data = read_json_file(json_fpath)
+        nodes = {}
+        for key, nd in data["nodes"].items():
+            s2 = nd["global_Sim2_local"]
+            nodes[int(key)] = PanoData(
+                id=int(key),
+                global_Sim2_local=Sim2(
+                    R=np.asarray(s2["R"], dtype=np.float64).reshape(2, 2),
+                    t=np.asarray(s2["t"], dtype=np.float64),
+                    s=float(s2["s"]),
+                ),
+                room_vertices_local_2d=np.asarray(nd["room_vertices_local_2d"]),
+                image_path=nd["image_path"],
+                label=nd["label"],
+            )
+        return cls(
+            building_id=data["building_id"],
+            floor_id=data["floor_id"],
+            nodes=nodes,
+            scale_meters_per_coordinate=data["scale_meters_per_coordinate"],
+        )
+
+    def draw_edge(self, i1: int, i2: int, color: str) -> None:
+        """Plot a dotted line between two pano centers (parity: :491)."""
+        import matplotlib.pyplot as plt
+
+        t1 = self.nodes[i1].global_Sim2_local.transform_from(np.zeros((1, 2))).squeeze()
+        t2 = self.nodes[i2].global_Sim2_local.transform_from(np.zeros((1, 2))).squeeze()
+        plt.plot([t1[0], t2[0]], [t1[1], t2[1]], c=color, linestyle="dotted", alpha=0.6)
+
     # -- constructors ----------------------------------------------------------
     @classmethod
     def from_floor_data(

@@ -14,7 +14,7 @@ the validity check at most stricter.)
 
 Every function has a NumPy host path; all predicates are written with
 vectorized primitives so the same formulas serve the batched JAX Stage-A
-kernel (see salve_tpu/ops/wdo_alignment_kernel.py).
+kernel (see salve_tpu/hypotheses/batched.py).
 """
 
 from __future__ import annotations

@@ -22,9 +22,12 @@ mismatch was root-caused to the OLD XLA path itself: TPU convolutions
 default to bf16 passes, rounding the fill's box sums by ~0.6% of image
 range — the Pallas kernel (exact f32 shifts/adds) was the correct side.
 ops/bev.py now runs its convs at Precision.HIGHEST and the two paths agree
-exactly. The XLA path remains production (portable to the CPU test mesh);
-this kernel is the drop-in VMEM-resident alternative with equivalent
-steady-state speed on chip.
+exactly. This kernel IS the production texture-fill path on TPU backends
+for batches <= 32 (ops/bev.py:_use_pallas_fill and _PALLAS_FILL_MAX_BATCH,
+6.3x the XLA conv path); the XLA path serves CPU meshes and larger batches.
+Since round 2 the caller also applies ops/bev.py:convex_hull_mask on top
+(Delaunay-domain restriction, measured in
+tests/parity/test_interpolation_drift.py).
 """
 
 from __future__ import annotations

@@ -52,3 +52,71 @@ def draw_dwo_in_top_down_canvas(
     pts = [xy_from, xy_to]
     arr = _to_global(pts, pose)
     axis.plot(arr[:, 0], arr[:, 1], color=color, linewidth=3)
+
+
+def draw_all_room_shapes_with_given_poses_and_shapes(
+    filename: Optional[str],
+    predictions,
+    poses,
+    groups: List[List],
+    confidences=None,
+    axis=None,
+):
+    """Draw every group's refined shapes + cameras on one canvas.
+
+    Parity: salve/stitching/draw.py:169 (schematics/shapely-free redesign:
+    `predictions` maps pano id -> List[Point2d] boundary in local frame,
+    `poses` maps pano id -> Pose). Returns (axis, fig).
+    """
+    import matplotlib.pyplot as plt
+
+    fig = None
+    if axis is None:
+        fig = plt.figure()
+        axis = fig.add_subplot(1, 1, 1)
+    for i_group, group in enumerate(groups):
+        i_color = (i_group % 8) * 3 + i_group // 8
+        _color = TANGO_COLOR_PALETTE[i_color % 24]  # group hue (parity)
+        for panoid in group:
+            shape = list(predictions[panoid])
+            shape.append(shape[0])
+            draw_shape_in_top_down_canvas(
+                axis, shape, color="black", pose=poses[panoid]
+            )
+            draw_camera_in_top_down_canvas(axis, poses[panoid], "blue", size=20)
+    axis.set_aspect("equal")
+    if filename and fig is not None:
+        fig.savefig(filename)
+    return axis, fig
+
+
+def draw_all_room_shapes_with_poses(
+    filename: Optional[str],
+    shapes,
+    poses,
+    axis=None,
+) -> List[np.ndarray]:
+    """Draw room shapes at given global poses; return global-frame polygons.
+
+    Parity: salve/stitching/draw.py:218. The reference returns a Shapely
+    cascaded union; GEOS-free here, the per-room global polygons are
+    returned instead (callers needing occupancy take the raster union via
+    common/floor_reconstruction_report.py).
+    """
+    import matplotlib.pyplot as plt
+
+    fig = None
+    if axis is None:
+        fig = plt.figure()
+        axis = fig.add_subplot(1, 1, 1)
+    global_polys: List[np.ndarray] = []
+    for panoid, shape in shapes.items():
+        pose = poses[panoid]
+        global_polys.append(_to_global(list(shape), pose))
+        closed = list(shape) + [shape[0]]
+        draw_shape_in_top_down_canvas(axis, closed, "black", pose=pose)
+        draw_camera_in_top_down_canvas(axis, pose, "black", size=10)
+    axis.set_aspect("equal")
+    if filename and fig is not None:
+        fig.savefig(filename)
+    return global_polys

@@ -1,0 +1,60 @@
+"""Cluster merging via low-confidence crossings (parity: cluster_merging.py:33)."""
+
+import numpy as np
+
+from salve_tpu.algorithms.cluster_merging import get_connected_components, merge_clusters
+from salve_tpu.common.two_view_estimation_report import TwoViewEstimationReport
+from salve_tpu.geometry.sim2 import Sim2
+
+
+def _s2(tx, ty, theta=0.0):
+    return Sim2.from_theta_deg(theta, np.array([tx, ty]), 1.0)
+
+
+def test_get_connected_components():
+    ccs = get_connected_components([(0, 1), (1, 2), (5, 6)])
+    assert sorted(map(sorted, ccs)) == [[0, 1, 2], [5, 6]]
+
+
+def test_merge_joins_two_components_with_most_confident_crossing():
+    consistent = {(0, 1): _s2(1, 0), (2, 3): _s2(1, 0)}
+    low_conf = dict(consistent)
+    low_conf[(1, 2)] = _s2(0, 1)
+    low_conf[(0, 3)] = _s2(2, 2)
+    reports = {
+        (1, 2): TwoViewEstimationReport(gt_class=1, confidence=0.9),
+        (0, 3): TwoViewEstimationReport(gt_class=0, confidence=0.4),
+    }
+    merged = merge_clusters(low_conf, consistent, reports)
+    assert merged is not None
+    assert (1, 2) in merged and (0, 3) not in merged
+    # Original dict untouched (copy semantics).
+    assert (1, 2) not in consistent
+
+
+def test_merge_returns_none_when_single_component():
+    consistent = {(0, 1): _s2(1, 0), (1, 2): _s2(1, 0)}
+    merged = merge_clusters(dict(consistent), consistent, {})
+    assert merged is None
+
+
+def test_merge_returns_none_without_crossing_edges():
+    consistent = {(0, 1): _s2(1, 0), (2, 3): _s2(1, 0)}
+    merged = merge_clusters(dict(consistent), consistent, {})
+    assert merged is None
+
+
+def test_merge_rejects_crossing_that_penetrates_walls():
+    """With layouts given, a merge overlaying both rooms exactly is rejected."""
+    square = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])
+    consistent = {(0, 1): _s2(5, 0), (2, 3): _s2(5, 0)}
+    low_conf = dict(consistent)
+    # Half-overlap crossing: pano 2's room shifted one half-width into pano
+    # 1's -> each room's walls cut through the other's freespace -> reject.
+    # (A full identity overlay would be ACCEPTED: same-room alignments
+    # legitimately overlap, salve/utils/overlap_utils.py:85-88.)
+    low_conf[(1, 2)] = _s2(1.0, 0.0)
+    reports = {(1, 2): TwoViewEstimationReport(gt_class=0, confidence=0.99)}
+    layouts = {i: square for i in range(4)}
+    merged = merge_clusters(low_conf, consistent, reports, pano_layouts=layouts)
+    assert merged is None

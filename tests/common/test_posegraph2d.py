@@ -74,3 +74,61 @@ def test_measure_abs_pose_error_shifted() -> None:
     avg_rot_error, avg_trans_error, _, _ = est.measure_unaligned_abs_pose_error(gt_floor_pg=gt)
     assert np.isclose(avg_rot_error, 0.0, atol=1e-3)
     assert np.isclose(avg_trans_error, 0.0, atol=1e-3)
+
+
+def test_as_json_roundtrip(tmp_path):
+    """as_json/from_json round-trips poses, layouts, and scale.
+
+    The reference declares as_json but raises NotImplementedError
+    (salve/common/posegraph2d.py:277); the rebuild implements it.
+    """
+    import numpy as np
+
+    from salve_tpu.common.pano_data import PanoData
+    from salve_tpu.common.posegraph2d import PoseGraph2d
+    from salve_tpu.geometry.sim2 import Sim2
+
+    nodes = {
+        3: PanoData(
+            id=3,
+            global_Sim2_local=Sim2.from_theta_deg(30.0, np.array([1.0, 2.0]), 1.5),
+            room_vertices_local_2d=np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]),
+            image_path="panos/floor_01_pano_3.jpg",
+            label="kitchen",
+        )
+    }
+    pg = PoseGraph2d("0000", "floor_01", nodes, scale_meters_per_coordinate=3.5)
+    fpath = str(tmp_path / "pg.json")
+    pg.as_json(fpath)
+    pg2 = PoseGraph2d.from_json(fpath)
+    assert pg2.building_id == "0000" and pg2.floor_id == "floor_01"
+    assert pg2.scale_meters_per_coordinate == 3.5
+    assert np.allclose(
+        pg2.nodes[3].global_Sim2_local.matrix, pg.nodes[3].global_Sim2_local.matrix
+    )
+    assert np.allclose(pg2.nodes[3].room_vertices_local_2d, nodes[3].room_vertices_local_2d)
+    assert pg2.nodes[3].label == "kitchen"
+
+
+def test_draw_edge_plots_dotted_line():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from salve_tpu.common.pano_data import PanoData
+    from salve_tpu.common.posegraph2d import PoseGraph2d
+    from salve_tpu.geometry.sim2 import Sim2
+
+    nodes = {
+        0: PanoData(0, Sim2(np.eye(2), np.array([0.0, 0.0]), 1.0), np.zeros((3, 2)), "a", "x"),
+        1: PanoData(1, Sim2(np.eye(2), np.array([2.0, 1.0]), 1.0), np.zeros((3, 2)), "b", "y"),
+    }
+    pg = PoseGraph2d("0000", "floor_01", nodes, 1.0)
+    plt.figure()
+    pg.draw_edge(0, 1, color="g")
+    line = plt.gca().lines[-1]
+    assert list(line.get_xdata()) == [0.0, 2.0]
+    assert list(line.get_ydata()) == [0.0, 1.0]
+    plt.close("all")
