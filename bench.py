@@ -145,6 +145,116 @@ def bench_reference_host(depths, rgbs, num_pairs: int = 2) -> float:
     return 1.0 / dt
 
 
+def bench_verifier(batch_size: int = 256, reps: int = 8) -> float:
+    """ResNet-152 early-fusion inference pairs/sec, device-resident bf16.
+
+    Steady-state: reps dispatches are serialized through a data dependency
+    (each batch perturbed by the previous scalar result) and timed to a
+    single final scalar fetch, so tunnel round-trip latency amortizes over
+    reps instead of being billed per batch. (block_until_ready is NOT a
+    reliable barrier over the tunnel — see BENCH_NOTES.md.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from salve_tpu.training import train as train_lib
+    from salve_tpu.training import transforms
+    from salve_tpu.training.config import TrainingConfig
+
+    cfg = TrainingConfig(num_layers=152, batch_size=batch_size)
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=1)
+
+    @jax.jit
+    def fwd(params, batch_stats, imgs, chain):
+        imgs = imgs + chain * 0.0  # serialize on the previous result
+        batch = transforms.preprocess_eval(imgs, cfg.train_h, cfg.train_w)
+        logits = state.apply_fn(
+            {"params": params, "batch_stats": batch_stats},
+            [batch[:, i] for i in range(batch.shape[1])],
+            train=False,
+        )
+        return jnp.sum(logits)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (batch_size, 4, cfg.resize_h, cfg.resize_w, 3)).astype(
+            np.float32
+        )
+    )
+    chain = fwd(state.params, state.batch_stats, imgs, jnp.float32(0.0))
+    float(chain)  # warmup + fetch barrier
+
+    t0 = time.time()
+    chain = jnp.float32(0.0)
+    for _ in range(reps):
+        chain = fwd(state.params, state.batch_stats, imgs, chain)
+    float(chain)
+    dt = (time.time() - t0) / reps
+    return batch_size / dt
+
+
+def bench_fused_render_verify(batch_size: int = 32, reps: int = 6) -> float:
+    """Fused render->preprocess->verify hypotheses/sec (ResNet-152).
+
+    The production Stage B+C fusion (pipeline/fused_inference.py): pano 1
+    rendered per hypothesis, pano 2 from the identity bank, scored without a
+    JPG round trip. Chained through a scalar to amortize tunnel latency.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from salve_tpu.pipeline.fused_inference import make_fused_score_fn
+    from salve_tpu.rendering.bev_pair import BEVRenderConfig, render_identity_batched
+    from salve_tpu.training import train as train_lib
+    from salve_tpu.training.config import TrainingConfig
+
+    cfg = TrainingConfig(num_layers=152, batch_size=batch_size)
+    render_cfg = BEVRenderConfig()
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=1)
+    score = make_fused_score_fn(state, cfg, render_cfg)
+
+    depths, rgbs = make_synthetic_pano_bank(num_panos=4)
+    depths_d, rgbs_d = jnp.asarray(depths), jnp.asarray(rgbs)
+    bank_ceil = render_identity_batched(depths_d, rgbs_d, (0.5, np.inf), render_cfg)
+    bank_floor = render_identity_batched(depths_d, rgbs_d, (-np.inf, -1.0), render_cfg)
+
+    rng = np.random.default_rng(2)
+    i1 = jnp.asarray(rng.integers(0, 4, batch_size))
+    i2 = jnp.asarray(rng.integers(0, 4, batch_size))
+    th = rng.uniform(-np.pi, np.pi, batch_size)
+    rot = jnp.asarray(
+        np.stack(
+            [
+                np.stack([np.cos(th), -np.sin(th)], -1),
+                np.stack([np.sin(th), np.cos(th)], -1),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    tr0 = rng.uniform(-2, 2, (batch_size, 2)).astype(np.float32)
+
+    def run(translations):
+        y_hat, probs = score(
+            state.params, state.batch_stats, depths_d, rgbs_d,
+            bank_ceil, bank_floor, i1, i2, rot, jnp.asarray(translations),
+        )
+        return jnp.sum(probs)
+
+    chain = run(tr0)
+    float(chain)  # warmup
+
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for _ in range(reps):
+        # Dispatches serialize on the single device queue; summing into acc
+        # keeps every batch live so one final fetch is the barrier.
+        acc = acc + run(tr0)
+    total = float(acc)
+    dt = (time.time() - t0) / reps
+    assert np.isfinite(total)
+    return batch_size / dt
+
+
 def main() -> None:
     depths, rgbs = make_synthetic_pano_bank(num_panos=8)
     # Best of two trials: the test-harness tunnel adds 0.2-0.5 s latency per
@@ -152,6 +262,8 @@ def main() -> None:
     # better estimate of sustained throughput.
     tpu_pairs_per_sec = max(bench_tpu(depths, rgbs) for _ in range(2))
     ref_pairs_per_sec = bench_reference_host(depths, rgbs)
+    verifier_pairs_per_sec = bench_verifier()
+    fused_hyp_per_sec = bench_fused_render_verify()
     print(
         json.dumps(
             {
@@ -159,6 +271,17 @@ def main() -> None:
                 "value": round(tpu_pairs_per_sec, 2),
                 "unit": "pairs/s",
                 "vs_baseline": round(tpu_pairs_per_sec / ref_pairs_per_sec, 2),
+                "submetrics": {
+                    "verifier_pairs_per_sec_bs256_rn152": round(
+                        verifier_pairs_per_sec, 1
+                    ),
+                    "fused_render_verify_hyp_per_sec_rn152": round(
+                        fused_hyp_per_sec, 1
+                    ),
+                    "host_reference_render_pairs_per_sec": round(
+                        ref_pairs_per_sec, 3
+                    ),
+                },
             }
         )
     )

@@ -31,7 +31,7 @@ from salve_tpu.common.floor_reconstruction_report import (
 )
 from salve_tpu.common.posegraph2d import PoseGraph2d
 from salve_tpu.dataset import hnet_prediction_loader
-from salve_tpu.utils import axis_alignment
+from salve_tpu.utils import axis_alignment, profiler
 from salve_tpu.utils.io import save_json_file
 
 logger = logging.getLogger(__name__)
@@ -143,6 +143,9 @@ def run_incremental_reconstruction(
 
     reports: List[FloorReconstructionReport] = []
     for building_id, floor_id in sorted(pairs):
+        import time as _time
+
+        _t_stage = _time.time()
         floor_ec_dict = edge_classification.get_edge_classifications_from_serialized_preds(
             query_building_id=building_id,
             query_floor_id=floor_id,
@@ -150,6 +153,7 @@ def run_incremental_reconstruction(
             hypotheses_save_root=hypotheses_save_root,
             allowed_wdo_types=allowed_wdo_types,
         )
+        profiler.record_stage("sfm/load_preds", _time.time() - _t_stage)
         measurements = floor_ec_dict[(building_id, floor_id)]
         if not measurements:
             logger.info("Skip %s %s: no measurements.", building_id, floor_id)
@@ -212,6 +216,7 @@ def run_incremental_reconstruction(
                 max_allowed_deviation_deg=5.0,
             )
 
+        _t_stage = _time.time()
         if method == "spanning_tree":
             wSi_list = spanning_tree.greedily_construct_st_Sim2(i2Si1_dict, verbose=False)
 
@@ -243,21 +248,25 @@ def run_incremental_reconstruction(
         else:
             raise RuntimeError(f"Unknown method {method}.")
 
+        profiler.record_stage("sfm/optimize", _time.time() - _t_stage)
         if wSi_list is None:
             reports.append(_empty_report())
             continue
 
         est_floor_pose_graph = PoseGraph2d.from_wSi_list(wSi_list, gt_floor_pose_graph)
-        reports.append(
-            FloorReconstructionReport.from_est_floor_pose_graph(
-                est_floor_pose_graph, gt_floor_pose_graph, plot_save_dir=plot_save_dir
+        with profiler.stage_timer("sfm/report"):
+            reports.append(
+                FloorReconstructionReport.from_est_floor_pose_graph(
+                    est_floor_pose_graph, gt_floor_pose_graph, plot_save_dir=plot_save_dir
+                )
             )
-        )
 
     summary = summarize_reports(reports)
     for k, v in summary.items():
         logger.info("%s = %.3f", k, v)
     save_json_file(f"{plot_save_dir}/summary.json", summary)
+    profiler.save_stage_summary(f"{plot_save_dir}/stage_timings.json")
+    logger.info("stage timings: %s", profiler.stage_summary())
     return reports
 
 

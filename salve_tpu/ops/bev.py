@@ -275,15 +275,6 @@ def hallucination_mask(
     return counts > 0.5
 
 
-# Above this batch, the vmapped fill kernel's Mosaic scoped-VMEM stack can
-# exceed the 16MB limit when composed into larger programs (observed
-# 17.34M OOMs at 64+ in-composition, while <=32 compiled and ran in every
-# composition tested; chunking into multiple kernel instances does NOT
-# help — their scoped allocations stack). Larger batches silently take the
-# XLA conv path, which works at any size.
-_PALLAS_FILL_MAX_BATCH = 32
-
-
 def _use_pallas_fill() -> bool:
     """Route texture-map fill through the Pallas VMEM kernel on TPU backends.
 
@@ -348,14 +339,15 @@ def render_bev_images_batched(
         # restrict the dilation fill the same way (drift measured in
         # tests/parity/test_interpolation_drift.py).
         hull = convex_hull_mask(occupied)
-        if _use_pallas_fill() and sparse.shape[0] <= _PALLAS_FILL_MAX_BATCH:
-            # VMEM-resident fused fill+mask kernel: 6.3x the XLA conv path on
-            # TPU, bit-identical output (see _PALLAS_FILL_MAX_BATCH for the
-            # batch gate).
-            from salve_tpu.ops.pallas_fill import fill_and_mask
+        if _use_pallas_fill():
+            # VMEM-resident fused fill+mask kernel: 6.3x the XLA conv path
+            # on TPU, bit-identical output. The batch rides the kernel grid,
+            # so any batch size fits (the former vmap composition stacked
+            # scoped VMEM and OOM'd past 32).
+            from salve_tpu.ops.pallas_fill import fill_and_mask_batched
 
             support = jnp.all(sparse_u8 > 0, axis=-1)
-            out = jax.vmap(fill_and_mask)(sparse, occupied, support)
+            out = fill_and_mask_batched(sparse, occupied, support)
             out = jnp.where(hull[..., None], out, 0.0)
         else:
             interp = fill_holes(sparse, occupied)

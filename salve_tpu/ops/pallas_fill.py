@@ -92,6 +92,80 @@ def _fill_mask_kernel(rgb_ref, occ_ref, mask_ref, valid_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+def fill_and_mask_batched(
+    sparse_imgs: jnp.ndarray,  # (B, H, W, 3) float
+    occupied: jnp.ndarray,     # (B, H, W) bool
+    support: jnp.ndarray,      # (B, H, W) bool
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched VMEM-resident fill + mask: (B,H,W,3) in one kernel launch.
+
+    The batch rides the Pallas grid — grid=(B, 3) programs each own one
+    (batch, channel) plane, so per-step VMEM is ONE image regardless of B
+    (Mosaic streams blocks between grid steps). This replaces the former
+    jax.vmap(fill_and_mask) composition, whose scoped-VMEM allocations
+    stacked across the vmapped batch and OOM'd beyond batch 32
+    (the old ops/bev.py _PALLAS_FILL_MAX_BATCH gate, now lifted).
+    """
+    B, H, W, _ = sparse_imgs.shape
+    rgb = jnp.transpose(sparse_imgs, (0, 3, 1, 2)).astype(jnp.float32)
+    occ = occupied.astype(jnp.float32)
+    sup = support.astype(jnp.float32)
+
+    from salve_tpu.ops.bev import _box_counts
+
+    mask = (_box_counts(sup, DEFAULT_MASK_KERNEL) > 0.5).astype(jnp.float32)
+
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    pad2 = ((0, 0), (0, Hp - H), (0, Wp - W))
+    rgb_p = jnp.pad(rgb, ((0, 0), (0, 0)) + pad2[1:])
+    occ_p = jnp.pad(occ, pad2)
+    mask_p = jnp.pad(mask, pad2)
+    valid_p = jnp.broadcast_to(
+        jnp.pad(jnp.ones((H, W), jnp.float32), pad2[1:])[None], (B, Hp, Wp)
+    )
+
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        _fill_mask_kernel_batched,
+        grid=(B, 3),
+        out_shape=jax.ShapeDtypeStruct((B, 3, Hp, Wp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 1, Hp, Wp), lambda b, c: (b, c, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, Hp, Wp), lambda b, c: (b, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, Hp, Wp), lambda b, c: (b, 0, 0), memory_space=mem),
+            pl.BlockSpec((1, Hp, Wp), lambda b, c: (b, 0, 0), memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Hp, Wp), lambda b, c: (b, c, 0, 0), memory_space=mem
+        ),
+        interpret=interpret,
+    )(rgb_p, occ_p, mask_p, valid_p)
+    return jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1))
+
+
+def _fill_mask_kernel_batched(rgb_ref, occ_ref, mask_ref, valid_ref, out_ref):
+    """Batched twin of _fill_mask_kernel: refs carry leading (1,...) block dims."""
+    img = rgb_ref[0, 0]
+    occ = occ_ref[0]
+    support = mask_ref[0]
+    valid = valid_ref[0]
+
+    def body(_, carry):
+        img, o = carry
+        den = _box_sum(o, 3)
+        num = _box_sum(img * o, 3)
+        fill = num / jnp.maximum(den, 1.0)
+        new_o = jnp.clip(den, 0.0, 1.0) * valid
+        img = jnp.where(o > 0, img, fill) * valid
+        return img, jnp.maximum(o, new_o)
+
+    img, _ = jax.lax.fori_loop(0, FILL_ITERS, body, (img, occ))
+    out_ref[0, 0] = jnp.where(support > 0.5, img, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def fill_and_mask(
     sparse_img: jnp.ndarray,   # (H, W, 3) float
     occupied: jnp.ndarray,     # (H, W) bool

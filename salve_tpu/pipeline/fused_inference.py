@@ -114,6 +114,8 @@ def score_floor_hypotheses(
         hypotheses: (i1, i2, AlignmentHypothesis) triples.
         batch_size: hypotheses per device batch.
     """
+    from salve_tpu.utils import profiler
+
     if not hypotheses:
         return []
     score_batch = make_fused_score_fn(state, cfg, render_cfg)
@@ -122,8 +124,9 @@ def score_floor_hypotheses(
 
     # Identity-frame BEV bank: one render per pano per surface for the whole
     # floor (hypotheses typically outnumber panos by orders of magnitude).
-    bank_ceil = render_identity_batched(depths_d, rgbs_d, (0.5, jnp.inf), render_cfg)
-    bank_floor = render_identity_batched(depths_d, rgbs_d, (-jnp.inf, -1.0), render_cfg)
+    with profiler.stage_timer("fused/identity_bank"):
+        bank_ceil = render_identity_batched(depths_d, rgbs_d, (0.5, jnp.inf), render_cfg)
+        bank_floor = render_identity_batched(depths_d, rgbs_d, (-jnp.inf, -1.0), render_cfg)
 
     results: List[ScoredHypothesis] = []
     for start in range(0, len(hypotheses), batch_size):
@@ -140,11 +143,12 @@ def score_floor_hypotheses(
             np.stack([h[2].i2Ti1.translation for h in chunk_p]).astype(np.float32)
         )
 
-        y_hat, prob = score_batch(
-            state.params, state.batch_stats, depths_d, rgbs_d,
-            bank_ceil, bank_floor, i1_idx, i2_idx, rotations, translations,
-        )
-        y_hat, prob = np.asarray(y_hat), np.asarray(prob)
+        with profiler.stage_timer("fused/score_batch"):
+            y_hat, prob = score_batch(
+                state.params, state.batch_stats, depths_d, rgbs_d,
+                bank_ceil, bank_floor, i1_idx, i2_idx, rotations, translations,
+            )
+            y_hat, prob = np.asarray(y_hat), np.asarray(prob)
         for k, (i1, i2, ah) in enumerate(chunk):
             results.append(
                 ScoredHypothesis(

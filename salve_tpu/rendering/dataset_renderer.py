@@ -64,7 +64,10 @@ def render_building_floor_pairs(
             continue
 
         if "rgb_texture" in render_modalities:
-            num_rendered += _render_texture_pairs_batched(
+            from salve_tpu.utils import profiler
+
+            with profiler.stage_timer("render/texture_pairs"):
+                num_rendered += _render_texture_pairs_batched(
                 pair_fpaths,
                 img_fpaths_dict,
                 depth_save_root,

@@ -29,6 +29,11 @@ def stage_timer(stage_name: str) -> Iterator[None]:
         _STAGE_METERS[stage_name].update(time.time() - t0)
 
 
+def record_stage(stage_name: str, seconds: float) -> None:
+    """Non-context form of stage_timer for measurements taken inline."""
+    _STAGE_METERS[stage_name].update(seconds)
+
+
 def stage_summary() -> Dict[str, Dict[str, float]]:
     """{stage: {total_s, mean_s, count}} for all timed stages so far."""
     return {

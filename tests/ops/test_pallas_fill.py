@@ -40,3 +40,32 @@ class TestPallasFillAndMask:
             fill_and_mask(jnp.asarray(z), jnp.asarray(occ), jnp.asarray(occ), interpret=True)
         )
         assert (out == 0).all()
+
+
+class TestFillAndMaskBatched:
+    def test_batched_matches_single(self) -> None:
+        """grid=(B,3) batched kernel == per-image kernel, bit-exact."""
+        import numpy as np
+
+        from salve_tpu.ops.pallas_fill import fill_and_mask_batched
+
+        rng = np.random.default_rng(0)
+        B, H, W = 3, 40, 64
+        occ = rng.uniform(size=(B, H, W)) < 0.15
+        sparse = rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32) * occ[..., None]
+        support = (sparse > 0).all(axis=-1)
+
+        batched = np.asarray(
+            fill_and_mask_batched(
+                jnp.asarray(sparse), jnp.asarray(occ), jnp.asarray(support),
+                interpret=True,
+            )
+        )
+        for b in range(B):
+            single = np.asarray(
+                fill_and_mask(
+                    jnp.asarray(sparse[b]), jnp.asarray(occ[b]),
+                    jnp.asarray(support[b]), interpret=True,
+                )
+            )
+            assert np.array_equal(batched[b], single), f"batch element {b} differs"
