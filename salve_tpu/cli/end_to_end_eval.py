@@ -136,6 +136,8 @@ def run_end_to_end_eval(
         workers=4,
         data_root=str(bev_root),
         model_save_dirpath=str(out / "ckpts"),
+        # Fixture-scale data is ~1:8 imbalanced; plain CE collapses.
+        class_balanced_loss=True,
     )
     t0 = time.time()
     results = train_loop.train(cfg)
@@ -176,6 +178,7 @@ def run_end_to_end_eval(
             "mAcc": float(mAcc),
             "train_mAcc_last": float(results["train_mAcc"][-1]),
             "val_mAcc_best": float(max(results["val_mAcc"])),
+            "train_mAcc_history": [float(v) for v in results["train_mAcc"]],
             "num_layers": num_layers,
             "num_epochs": num_epochs,
         },

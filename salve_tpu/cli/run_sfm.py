@@ -161,7 +161,7 @@ def run_incremental_reconstruction(
             continue
 
         inferred_floor_pose_graph = None
-        if use_axis_alignment or method == "pose2_slam":
+        if (use_axis_alignment or method == "pose2_slam") and predictions_data_root is not None:
             inferred_floor_pose_graph = hnet_prediction_loader.load_inferred_floor_pose_graph(
                 building_id=building_id,
                 floor_id=floor_id,
@@ -227,7 +227,11 @@ def run_incremental_reconstruction(
                 wSi_list=wSi_list,
                 per_edge_wdo_dict=per_edge_wdo_dict,
                 inferred_floor_pose_graph=inferred_floor_pose_graph,
-                optimize_poses_only=(method == "pgo"),
+                # W/D/O landmark factors need the inferred layouts; without
+                # a predictions root, fall back to pose-only optimization.
+                optimize_poses_only=(
+                    method == "pgo" or inferred_floor_pose_graph is None
+                ),
             )
 
         elif method == "random_spanning_trees":

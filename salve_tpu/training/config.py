@@ -30,6 +30,10 @@ class TrainingConfig:
     train_h: int = 224
     train_w: int = 224
     apply_photometric_augmentation: bool = False
+    # Per-batch inverse-frequency CE reweighting; off = reference parity
+    # (plain CE, salve/train_utils.py:18). Used by fixture-scale runs where
+    # the ~1:8 aligned:misaligned imbalance collapses small-batch training.
+    class_balanced_loss: bool = False
     modalities: Tuple[str, ...] = ("ceiling_rgb_texture", "floor_rgb_texture")
 
     cfg_stem: str = ""

@@ -114,9 +114,20 @@ def make_train_step(cfg: TrainingConfig):
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels
-            ).mean()
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            if cfg.class_balanced_loss:
+                # Reweight so each class contributes equally per batch —
+                # aligned:misaligned hypotheses run ~1:8, and at fixture
+                # scale (small batches) unweighted CE collapses to the
+                # majority class. Off by default (reference parity:
+                # salve/train_utils.py:18 uses plain CE).
+                pos = labels == 1
+                n_pos = jnp.maximum(jnp.sum(pos), 1)
+                n_neg = jnp.maximum(jnp.sum(~pos), 1)
+                w = jnp.where(pos, 0.5 / n_pos, 0.5 / n_neg)
+                loss = jnp.sum(ce * w)
+            else:
+                loss = ce.mean()
             return loss, (logits, new_model_state)
 
         (loss, (logits, new_model_state)), grads = jax.value_and_grad(
