@@ -27,14 +27,24 @@ logger = logging.getLogger(__name__)
 @click.option("--split", type=click.Choice(["train", "val", "test"]), default=None)
 @click.option("--building_id", type=str, default=None, required=False)
 @click.option("--num_processes", type=int, default=1, help="Accepted for flag parity.")
+@click.option("--model_ckpt", type=click.Path(exists=True), default=None,
+              help="Trained PanoDepthNet msgpack to produce missing depth maps.")
+@click.option("--model_num_layers", type=int, default=50)
 def run_batch_hohonet_inference(
     raw_dataset_dir: str,
     depth_save_root: str,
     split: Optional[str],
     building_id: Optional[str],
     num_processes: int,
+    model_ckpt: Optional[str],
+    model_num_layers: int,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
+    if model_ckpt:
+        from salve_tpu.depth.cache import register_depth_model
+        from salve_tpu.models.depth_net import load_depth_provider
+
+        register_depth_model(load_depth_provider(model_ckpt, model_num_layers))
     building_ids = [building_id] if building_id else sorted(DATASET_SPLITS[split])
 
     num_ok, num_missing = 0, 0

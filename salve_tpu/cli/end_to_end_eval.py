@@ -71,23 +71,9 @@ def run_end_to_end_eval(
 
     depth_provider = None
     if depth_ckpt:
-        import flax
-        import jax
+        from salve_tpu.models.depth_net import load_depth_provider
 
-        from salve_tpu.models.depth_net import PanoDepthNet, make_depth_provider
-        from salve_tpu.training.depth import create_depth_train_state
-
-        state = create_depth_train_state(
-            jax.random.PRNGKey(0), num_layers=depth_num_layers
-        )
-        with open(depth_ckpt, "rb") as f:
-            restored = flax.serialization.from_bytes(
-                {"params": state.params, "batch_stats": state.batch_stats}, f.read()
-            )
-        raw_provider = make_depth_provider(
-            restored["params"], restored["batch_stats"], num_layers=depth_num_layers
-        )
-        depth_provider = lambda rgb: raw_provider(rgb / 255.0)  # noqa: E731
+        depth_provider = load_depth_provider(depth_ckpt, num_layers=depth_num_layers)
 
     buildings = sorted({train_building, eval_building})
     timings = {}

@@ -69,8 +69,9 @@ def materialize_synthetic_building(
                 if depth_provider is None:
                     depth_m = out["depth"]
                 else:
+                    # Provider contract: RGB in [0,1] (depth/cache.py).
                     depth_m = np.asarray(
-                        depth_provider(out["rgb"].astype(np.float32))
+                        depth_provider(out["rgb"].astype(np.float32) / 255.0)
                     )
                 depth_mm = np.clip(np.round(depth_m * 1000.0), 0, 65535).astype(
                     np.uint16

@@ -171,8 +171,34 @@ def synthesize_depth_from_layout(
     )["depth"]
 
 
+def load_depth_provider(ckpt_fpath: str, num_layers: int = 50):
+    """Load a trained PanoDepthNet msgpack and wrap it as a depth provider.
+
+    The provider takes (H,W,3) float RGB in [0,1] and returns (H,W) float
+    meters — the depth.cache producer contract (the HoHoNet role,
+    salve/utils/infer_depth.py:28).
+    """
+    import flax
+    import jax
+
+    from salve_tpu.training.depth import create_depth_train_state
+
+    state = create_depth_train_state(jax.random.PRNGKey(0), num_layers=num_layers)
+    with open(ckpt_fpath, "rb") as f:
+        restored = flax.serialization.from_bytes(
+            {"params": state.params, "batch_stats": state.batch_stats}, f.read()
+        )
+    return make_depth_provider(
+        restored["params"], restored["batch_stats"], num_layers=num_layers
+    )
+
+
 def make_depth_provider(params, batch_stats=None, num_layers: int = 50):
-    """Wrap trained PanoDepthNet params as a depth.cache producer fn."""
+    """Wrap trained PanoDepthNet params as a depth.cache producer fn.
+
+    Input contract: (H,W,3) float RGB in [0,1] (depth/cache.py producer
+    contract); returns (H,W) float meters.
+    """
     model = PanoDepthNet(num_layers=num_layers)
 
     @jax.jit

@@ -116,7 +116,9 @@ def load_depth_example(
         out = render_synthetic_pano(
             verts_m, camera_height_m=cam_h, h=h, w=w, seed=seed
         )
-        return out["rgb"].astype(np.float32), out["depth"].astype(np.float32)
+        # RGB in [0,1]: the depth-model input contract everywhere
+        # (depth/cache.py registered-producer contract; load_pano_rgb).
+        return out["rgb"].astype(np.float32) / 255.0, out["depth"].astype(np.float32)
     from salve_tpu.rendering.bev_pair import load_pano_rgb
 
     rgb = load_pano_rgb(img_fpath)
@@ -172,11 +174,11 @@ def iter_layout_depth_batches(
                     seed=(stable ^ (variant * 7919)) & 0x7FFFFFFF,
                 )
                 _SYNTH_CACHE[key] = (
-                    rgb.astype(np.uint8),
+                    np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8),
                     depth.astype(np.float16),
                 )
             rgb_u8, depth_f16 = _SYNTH_CACHE[key]
-            rgb = rgb_u8.astype(np.float32)
+            rgb = rgb_u8.astype(np.float32) / 255.0
             depth = depth_f16.astype(np.float32)
         else:
             rgb, depth = load_depth_example(
