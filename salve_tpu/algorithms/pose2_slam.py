@@ -274,7 +274,10 @@ def planar_slam(
         brm_valid = np.ones(len(brms))
 
     # Double precision for the solve: GTSAM-parity tolerances are ~1e-8.
-    with jax.enable_x64(True):
+    # Pinned to the host CPU backend: the factor graph is tiny (tens of
+    # poses) and TPU has no f64 LU decomposition — the chip's job is the
+    # image/batch work, not a 3Nx3N solve.
+    with jax.enable_x64(True), jax.default_device(jax.devices("cpu")[0]):
         poses_opt, lms_opt = _lm_solve_jit(
             jnp.asarray(poses0, dtype=jnp.float64),
             jnp.asarray(landmarks0, dtype=jnp.float64),
