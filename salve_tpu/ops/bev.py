@@ -75,6 +75,31 @@ def _box_counts(occ: jnp.ndarray, k: int) -> jnp.ndarray:
     return x.reshape(lead + (h, w))
 
 
+def _drop_dominated(
+    cell: jnp.ndarray, z_bin: jnp.ndarray, ok: jnp.ndarray, stride: int
+) -> jnp.ndarray:
+    """Mask out points dominated by a same-cell point `stride` positions later.
+
+    Point i is *dominated* if some valid point j lands in the same BEV cell
+    with a larger priority key (z_bin, index) — j wins the cell's scatter-max
+    regardless of i, so i can be dropped without changing the output. For
+    j = i + stride (the same pano column, next row), z_bin_j >= z_bin_i
+    already implies key_j > key_i (j's index is larger). Dominated points
+    never win, and the per-cell maximum can never be dominated, so any set
+    of such drops is bit-exact.
+
+    Why bother: XLA's scatter-max serializes actual writes; masked points
+    map to an out-of-range index under mode="drop" and skip the write
+    entirely. Backprojected panos are radially dense near the camera (many
+    consecutive same-column rows hit one 2cm cell), so one vector compare
+    removes a large share of writes (A/B in BENCH_NOTES.md).
+    """
+    same = (cell[:, :-stride] == cell[:, stride:]) & ok[:, :-stride] & ok[:, stride:]
+    dom = same & (z_bin[:, :-stride] <= z_bin[:, stride:])
+    dominated = jnp.pad(dom, ((0, 0), (0, stride)))
+    return ok & ~dominated
+
+
 def splat_zorder_batched(
     xy_img: jnp.ndarray,
     z: jnp.ndarray,
@@ -82,6 +107,7 @@ def splat_zorder_batched(
     valid: jnp.ndarray,
     img_h: int,
     img_w: int,
+    dedup_stride: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched z-order splat: (B,N) points -> (B,H,W) grids in ONE scatter.
 
@@ -114,7 +140,16 @@ def splat_zorder_batched(
     key = z_bin * n + jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
     hw = img_h * img_w
     b_off = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0) * hw
-    cell = jnp.where(ok, y * img_w + x + b_off, b * hw)  # out-of-range -> dropped
+    cell_img = y * img_w + x  # per-image cell (batch-offset applied below)
+
+    if dedup_stride > 0 and n > dedup_stride:
+        # Two compare passes (1 and 2 pano rows down) drop most radially
+        # duplicated writes; each drop is provably output-neutral.
+        ok = _drop_dominated(cell_img, z_bin, ok, dedup_stride)
+        if n > 2 * dedup_stride:
+            ok = _drop_dominated(cell_img, z_bin, ok, 2 * dedup_stride)
+
+    cell = jnp.where(ok, cell_img + b_off, b * hw)  # out-of-range -> dropped
 
     grid = jnp.full((b * hw,), -1, dtype=jnp.int32)
     grid = grid.at[cell.reshape(-1)].max(
@@ -290,7 +325,8 @@ def _use_pallas_fill() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("img_px", "meters_per_px", "is_semantics")
+    jax.jit,
+    static_argnames=("img_px", "meters_per_px", "is_semantics", "dedup_stride"),
 )
 def render_bev_images_batched(
     xyz: jnp.ndarray,
@@ -299,6 +335,7 @@ def render_bev_images_batched(
     img_px: int = DEFAULT_BEV_IMG_PX,
     meters_per_px: float = DEFAULT_METERS_PER_PX,
     is_semantics: bool = False,
+    dedup_stride: int = 0,
 ) -> jnp.ndarray:
     """Batched BEV texture-map render: (B,N) clouds -> (B,H,W,3) uint8.
 
@@ -324,7 +361,9 @@ def render_bev_images_batched(
     xy_img = jnp.round((xy + half_m) / meters_per_px).astype(jnp.int32)
 
     rgb255 = rgb * 255.0
-    sparse, occupied = splat_zorder_batched(xy_img, z, rgb255, valid, img_h, img_w)
+    sparse, occupied = splat_zorder_batched(
+        xy_img, z, rgb255, valid, img_h, img_w, dedup_stride=dedup_stride
+    )
 
     sparse_u8 = jnp.clip(jnp.round(sparse), 0, 255).astype(jnp.uint8)
 
@@ -341,13 +380,13 @@ def render_bev_images_batched(
         hull = convex_hull_mask(occupied)
         if _use_pallas_fill():
             # VMEM-resident fused fill+mask kernel: 6.3x the XLA conv path
-            # on TPU, bit-identical output. The batch rides the kernel grid,
-            # so any batch size fits (the former vmap composition stacked
-            # scoped VMEM and OOM'd past 32).
-            from salve_tpu.ops.pallas_fill import fill_and_mask_batched
+            # on TPU, bit-identical output. Any batch size: the batch rides
+            # the kernel grid up to 32 and lax.map chunks beyond (the former
+            # vmap composition stacked scoped VMEM and OOM'd past 32).
+            from salve_tpu.ops.pallas_fill import fill_and_mask_any_batch
 
             support = jnp.all(sparse_u8 > 0, axis=-1)
-            out = fill_and_mask_batched(sparse, occupied, support)
+            out = fill_and_mask_any_batch(sparse, occupied, support)
             out = jnp.where(hull[..., None], out, 0.0)
         else:
             interp = fill_holes(sparse, occupied)

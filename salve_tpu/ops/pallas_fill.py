@@ -91,6 +91,41 @@ def _fill_mask_kernel(rgb_ref, occ_ref, mask_ref, valid_ref, out_ref):
     out_ref[0] = jnp.where(support > 0.5, img, 0.0)
 
 
+# Per-kernel-launch batch cap: Mosaic's scoped-VMEM stack grows slightly
+# with grid length and crosses the 16 MB limit near batch 64 at the
+# production 501x501 size (observed 19.31M at 64; <=32 compiles in every
+# composition tested). Above the cap, fill_and_mask_any_batch runs the same
+# kernel over lax.map chunks — a sequential loop over ONE compiled instance,
+# so scoped allocations do not stack (unlike inline vmap instances).
+_KERNEL_MAX_BATCH = 32
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fill_and_mask_any_batch(
+    sparse_imgs: jnp.ndarray,
+    occupied: jnp.ndarray,
+    support: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched fill+mask for ANY batch size (chunks through the VMEM kernel)."""
+    B = sparse_imgs.shape[0]
+    if B <= _KERNEL_MAX_BATCH:
+        return fill_and_mask_batched(sparse_imgs, occupied, support, interpret)
+    chunk = _KERNEL_MAX_BATCH
+    pad = (-B) % chunk
+    sp = jnp.pad(sparse_imgs, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    oc = jnp.pad(occupied, ((0, pad), (0, 0), (0, 0)))
+    su = jnp.pad(support, ((0, pad), (0, 0), (0, 0)))
+    n = sp.shape[0] // chunk
+    sp = sp.reshape((n, chunk) + sp.shape[1:])
+    oc = oc.reshape((n, chunk) + oc.shape[1:])
+    su = su.reshape((n, chunk) + su.shape[1:])
+    out = jax.lax.map(
+        lambda t: fill_and_mask_batched(*t, interpret=interpret), (sp, oc, su)
+    )
+    return out.reshape((n * chunk,) + out.shape[2:])[:B]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fill_and_mask_batched(
     sparse_imgs: jnp.ndarray,  # (B, H, W, 3) float

@@ -68,7 +68,8 @@ def render_identity_batched(
     xy = xyz[..., :2] @ _R_FIX.T
     xyz = jnp.concatenate([xy, xyz[..., 2:3]], axis=-1)
     return bev_ops.render_bev_images_batched(
-        xyz, c, v, cfg.img_px, cfg.meters_per_px, cfg.is_semantics
+        xyz, c, v, cfg.img_px, cfg.meters_per_px, cfg.is_semantics,
+        dedup_stride=depths.shape[2],
     )
 
 
@@ -95,7 +96,8 @@ def render_transformed_batched(
     )[:, None, :]
     xyz = jnp.concatenate([xy, xyz[..., 2:3]], axis=-1)
     return bev_ops.render_bev_images_batched(
-        xyz, c, v, cfg.img_px, cfg.meters_per_px, cfg.is_semantics
+        xyz, c, v, cfg.img_px, cfg.meters_per_px, cfg.is_semantics,
+        dedup_stride=depths.shape[2],
     )
 
 
@@ -161,6 +163,7 @@ def _render_pairs_batched(
         cfg.img_px,
         cfg.meters_per_px,
         cfg.is_semantics,
+        dedup_stride=depth1.shape[2],
     )
     return imgs[:b], imgs[b:]
 

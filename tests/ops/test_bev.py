@@ -130,3 +130,36 @@ class TestRenderBEVImage:
             bev_ops.render_bev_image(xyz, rgb, jnp.zeros(4, bool), 500, 0.02)
         )
         assert img.sum() == 0
+
+
+def test_splat_dedup_prepass_is_bit_exact():
+    """Dominated-point dropping must not change the splat output at all."""
+    import numpy as np
+
+    from salve_tpu.ops import bev as bev_ops
+
+    rng = np.random.default_rng(7)
+    B, rows, W = 2, 24, 32  # stride = W: i vs i+W is the same pano column
+    N = rows * W
+    # Radially-duplicated structure: consecutive rows often share a cell.
+    x = rng.integers(0, 40, (B, N)).astype(np.int32)
+    y = rng.integers(0, 40, (B, N)).astype(np.int32)
+    # Force heavy same-column duplication for half the columns.
+    x = x.reshape(B, rows, W)
+    y = y.reshape(B, rows, W)
+    x[:, 1::2, : W // 2] = x[:, 0:-1:2, : W // 2]
+    y[:, 1::2, : W // 2] = y[:, 0:-1:2, : W // 2]
+    xy = np.stack([x.reshape(B, N), y.reshape(B, N)], -1)
+    z = rng.uniform(-1.9, 1.9, (B, N)).astype(np.float32)
+    rgb = rng.uniform(0, 1, (B, N, 3)).astype(np.float32)
+    valid = rng.uniform(size=(B, N)) < 0.9
+
+    base = bev_ops.splat_zorder_batched(
+        jnp.asarray(xy), jnp.asarray(z), jnp.asarray(rgb), jnp.asarray(valid), 40, 40
+    )
+    dedup = bev_ops.splat_zorder_batched(
+        jnp.asarray(xy), jnp.asarray(z), jnp.asarray(rgb), jnp.asarray(valid), 40, 40,
+        dedup_stride=W,
+    )
+    assert np.array_equal(np.asarray(base[0]), np.asarray(dedup[0]))
+    assert np.array_equal(np.asarray(base[1]), np.asarray(dedup[1]))
