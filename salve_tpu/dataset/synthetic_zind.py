@@ -11,6 +11,7 @@ through their real file contracts.
 from __future__ import annotations
 
 import shutil
+import zlib
 from pathlib import Path
 from typing import Callable, Dict, Optional
 
@@ -60,7 +61,16 @@ def materialize_synthetic_building(
         pg = posegraph2d.get_gt_pose_graph(building_id, floor_id, str(out_raw_dir))
         for i, pano in pg.nodes.items():
             cam_h = pg.get_camera_height_m(i)
-            out = synthetic_pano_for_pano_data(pano, cam_h, seed=seed * 4093 + i)
+            # ONE texture world per building+floor (world-anchored): panos
+            # viewing the same space must render agreeing colors — that
+            # agreement is the verifier's training signal.
+            out = synthetic_pano_for_pano_data(
+                pano,
+                cam_h,
+                seed=(seed * 4093 + zlib.crc32(f"{building_id}/{floor_id}".encode()))
+                & 0x7FFFFFFF,
+                scale_meters_per_coordinate=pg.scale_meters_per_coordinate,
+            )
             stem = Path(pano.image_path).stem
             imageio.imwrite(str(bdir / "panos" / f"{stem}.jpg"), out["rgb"])
             if depth_save_root is not None:

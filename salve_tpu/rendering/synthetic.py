@@ -121,12 +121,22 @@ def render_synthetic_pano(
     h: int = PANO_H,
     w: int = PANO_W,
     seed: int = 0,
+    world_R: Optional[np.ndarray] = None,
+    world_t: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Textured synthetic pano + exact depth for a room layout.
 
     Textures are procedural but scale-anchored (0.5 m floor checker, 0.25 m
-    wall stripes, baseboards, per-edge hues), so both monocular depth cues
-    and BEV texture matching carry real signal.
+    wall stripes, baseboards, hashed wall hues), so both monocular depth
+    cues and BEV texture matching carry real signal.
+
+    Texture coordinates are WORLD-anchored when (world_R, world_t) — the
+    metric camera->world transform — are given: two panos viewing the same
+    room then render agreeing colors, which is exactly the signal the
+    alignment verifier must learn (a per-pano texture world would make even
+    GT-aligned pairs look inconsistent). With the default identity
+    transform, textures are camera-anchored (fine for single-pano uses like
+    depth-supervision domain randomization).
 
     Returns dict with 'rgb' (h,w,3) uint8 and everything raycast_layout emits.
     """
@@ -135,7 +145,16 @@ def render_synthetic_pano(
     cast = raycast_layout(room_vertices_m, camera_height_m, ceiling_height_m, h, w)
     depth, surface = cast["depth"], cast["surface"]
     xyz = cast["hit_xyz"]
-    edge, s_arc = cast["wall_edge"], cast["wall_s"]
+
+    if world_R is None:
+        world_R = np.eye(2)
+    if world_t is None:
+        world_t = np.zeros(2)
+    wxy = xyz[..., :2] @ np.asarray(world_R, dtype=np.float64).T + np.asarray(
+        world_t, dtype=np.float64
+    )
+    wx, wy = wxy[..., 0], wxy[..., 1]
+    wz = xyz[..., 2] + camera_height_m  # absolute height above the floor
 
     rng = np.random.default_rng(seed)
     rgb = np.zeros((h, w, 3), dtype=np.float64)
@@ -143,8 +162,8 @@ def render_synthetic_pano(
     # Floor: 0.5 m checkerboard over two warm wood tones + plank stripes.
     base_a = np.array([139, 105, 74]) + rng.integers(-15, 15, 3)
     base_b = np.array([168, 135, 100]) + rng.integers(-15, 15, 3)
-    checker = ((np.floor(xyz[..., 0] / 0.5) + np.floor(xyz[..., 1] / 0.5)) % 2).astype(bool)
-    plank = (np.floor(xyz[..., 1] / 0.12) % 2).astype(bool)
+    checker = ((np.floor(wx / 0.5) + np.floor(wy / 0.5)) % 2).astype(bool)
+    plank = (np.floor(wy / 0.12) % 2).astype(bool)
     floor_col = np.where(checker[..., None], base_a, base_b) * np.where(
         plank[..., None], 1.0, 0.92
     )
@@ -152,26 +171,34 @@ def render_synthetic_pano(
 
     # Ceiling: light neutral with a slow plaster gradient.
     ceil_base = np.array([228, 226, 220]) + rng.integers(-8, 8, 3)
-    grad = 1.0 - 0.05 * np.abs(np.sin(xyz[..., 0] * 0.7) + np.cos(xyz[..., 1] * 0.9)) / 2
+    grad = 1.0 - 0.05 * np.abs(np.sin(wx * 0.7) + np.cos(wy * 0.9)) / 2
     rgb = np.where((surface == CEILING)[..., None], ceil_base * grad[..., None], rgb)
 
-    # Walls: per-edge hue + 0.25 m stripes in arc length + baseboard band.
-    n_edges = len(np.asarray(room_vertices_m))
+    # Walls: hue hashed from the wall's quantized WORLD position (two panos
+    # of one room hash the same physical wall to the same hue), 0.25 m
+    # world-space stripes, baseboard + crown bands at absolute heights.
+    edge = cast["wall_edge"]
+    ring = np.asarray(room_vertices_m, dtype=np.float64)
+    mids = 0.5 * (ring + np.roll(ring, -1, axis=0))  # (E,2) edge midpoints
+    wmids = mids @ np.asarray(world_R, dtype=np.float64).T + np.asarray(
+        world_t, dtype=np.float64
+    )
+    qm = np.round(wmids / 0.25).astype(np.int64)  # 0.25 m quantization
+    n_edges = len(ring)
     hue_lut = np.array(
         [
             [
-                140 + 90 * _hash01(seed, k, 1),
-                140 + 90 * _hash01(seed, k, 2),
-                130 + 90 * _hash01(seed, k, 3),
+                140 + 90 * _hash01(seed, int(qm[k, 0]), int(qm[k, 1]), 1),
+                140 + 90 * _hash01(seed, int(qm[k, 0]), int(qm[k, 1]), 2),
+                130 + 90 * _hash01(seed, int(qm[k, 0]), int(qm[k, 1]), 3),
             ]
             for k in range(max(n_edges, 1))
         ]
     )
     wall_base = hue_lut[np.clip(edge, 0, n_edges - 1)]
-    stripe = (np.floor(s_arc / 0.25) % 2).astype(bool)
-    z = xyz[..., 2]
-    baseboard = z < (-camera_height_m + 0.12)
-    crown = z > (ceiling_height_m - camera_height_m - 0.10)
+    stripe = (np.floor((wx + wy) / 0.25) % 2).astype(bool)
+    baseboard = wz < 0.12
+    crown = wz > (ceiling_height_m - 0.10)
     wall_col = wall_base * np.where(stripe[..., None], 1.0, 0.90)
     wall_col = np.where(baseboard[..., None], np.array([70.0, 60, 55]), wall_col)
     wall_col = np.where(crown[..., None], np.array([210.0, 208, 200]), wall_col)
@@ -186,18 +213,37 @@ def render_synthetic_pano(
     return out
 
 
-def synthetic_pano_for_pano_data(pano, camera_height_m: float, seed: Optional[int] = None):
+def synthetic_pano_for_pano_data(
+    pano,
+    camera_height_m: float,
+    seed: Optional[int] = None,
+    scale_meters_per_coordinate: Optional[float] = None,
+):
     """Convenience: synthetic pano for a PanoData (ego-normalized layout).
 
     ZInD layouts are ego-normalized (camera height == 1 unit,
     salve/common/pano_data.py parse asserts camera_height == 1.0), so metric
     vertices are layout * camera_height_m.
+
+    When scale_meters_per_coordinate is given, textures are anchored in the
+    building's world-metric frame (derived from pano.global_Sim2_local):
+    p_world_m = R @ p_cam_m + camera_height_m * t, since the pano scale
+    satisfies S * s_pano = camera_height_m. Pass the same `seed` for every
+    pano of a building so they share one texture world.
     """
     verts_m = np.asarray(pano.room_vertices_local_2d, dtype=np.float64) * float(
         camera_height_m
     )
+    world_R = world_t = None
+    if scale_meters_per_coordinate is not None:
+        world_R = np.asarray(pano.global_Sim2_local.rotation, dtype=np.float64)
+        world_t = camera_height_m * np.asarray(
+            pano.global_Sim2_local.translation, dtype=np.float64
+        )
     return render_synthetic_pano(
         verts_m,
         camera_height_m=camera_height_m,
         seed=int(pano.id) if seed is None else seed,
+        world_R=world_R,
+        world_t=world_t,
     )

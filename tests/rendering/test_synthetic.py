@@ -78,3 +78,62 @@ def test_synthetic_pano_for_pano_data_scales_layout(ref_test_data):
     assert out["rgb"].shape == (512, 1024, 3)
     # Nadir depth equals the metric camera height.
     assert np.isclose(out["depth"][-1, 0], cam_h, atol=0.02)
+
+
+def test_world_anchored_textures_agree_across_viewpoints():
+    """Two cameras in one room render the same color for the same world point.
+
+    This is the verifier's training signal: GT-aligned pano pairs must look
+    texture-consistent in their BEV overlap (per-pano texture worlds would
+    make even correct alignments look wrong).
+    """
+    room_world = np.array([[-3.0, -2.0], [3.0, -2.0], [3.0, 2.0], [-3.0, 2.0]])
+    cam_h = 1.5
+
+    views = []
+    for cam_xy, theta_deg in (((-1.0, 0.0), 0.0), ((1.2, 0.5), 140.0)):
+        th = np.deg2rad(theta_deg)
+        R_wc = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        verts_cam = (room_world - np.array(cam_xy)) @ R_wc  # world -> cam
+        out = synthetic.render_synthetic_pano(
+            verts_cam, cam_h, h=128, w=256, seed=42,
+            world_R=R_wc, world_t=np.array(cam_xy),
+        )
+        wxy = out["hit_xyz"][..., :2] @ R_wc.T + np.array(cam_xy)
+        views.append((out, wxy))
+
+    (out_a, wxy_a), (out_b, wxy_b) = views
+    floor_a = out_a["surface"] == synthetic.FLOOR
+    floor_b = out_b["surface"] == synthetic.FLOOR
+
+    rng = np.random.default_rng(0)
+    checked = 0
+    flat_a = wxy_a[floor_a]
+    col_a = out_a["rgb"][floor_a].astype(np.float64)
+    flat_b = wxy_b[floor_b]
+    col_b = out_b["rgb"][floor_b].astype(np.float64)
+    for _ in range(150):
+        k = rng.integers(0, len(flat_a))
+        p = flat_a[k]
+        # Skip points near checker/plank boundaries (quantization flips):
+        # checker cells are 0.5 m in BOTH axes, planks 0.12 m in y.
+        fc = (p / 0.5) % 1.0
+        fp = (p[1] / 0.12) % 1.0
+        if (
+            min(fc[0], 1 - fc[0]) < 0.1
+            or min(fc[1], 1 - fc[1]) < 0.1
+            or min(fp, 1 - fp) < 0.15
+        ):
+            continue
+        d = np.linalg.norm(flat_b - p, axis=1)
+        j = np.argmin(d)
+        if d[j] > 0.05:
+            continue
+        # Undo per-view distance shading before comparing base colors.
+        da = out_a["depth"][floor_a][k]
+        db = out_b["depth"][floor_b][j]
+        ca = col_a[k] * (1.0 + 0.035 * da)
+        cb = col_b[j] * (1.0 + 0.035 * db)
+        assert np.abs(ca - cb).max() < 25, (p, ca, cb)
+        checked += 1
+    assert checked >= 20, f"only {checked} comparable world points found"
