@@ -92,12 +92,13 @@ def _fill_mask_kernel(rgb_ref, occ_ref, mask_ref, valid_ref, out_ref):
 
 
 # Per-kernel-launch batch cap: Mosaic's scoped-VMEM stack grows slightly
-# with grid length and crosses the 16 MB limit near batch 64 at the
-# production 501x501 size (observed 19.31M at 64; <=32 compiles in every
-# composition tested). Above the cap, fill_and_mask_any_batch runs the same
-# kernel over lax.map chunks — a sequential loop over ONE compiled instance,
-# so scoped allocations do not stack (unlike inline vmap instances).
-_KERNEL_MAX_BATCH = 32
+# with grid length and with the surrounding composition, crossing the 16 MB
+# limit at batch 32 inside the fused render+verify program (17.34M observed)
+# and at 64 standalone (19.31M). 16 leaves margin in every composition
+# tested. Above the cap, fill_and_mask_any_batch runs the same kernel over
+# lax.map chunks — a sequential loop over ONE compiled instance, so scoped
+# allocations do not stack (unlike inline vmap instances).
+_KERNEL_MAX_BATCH = 16
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

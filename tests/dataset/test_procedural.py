@@ -1,0 +1,96 @@
+"""Procedural ZInD buildings parse correctly and drive Stage A."""
+
+import numpy as np
+import pytest
+
+from salve_tpu.common.pano_data import FloorData
+from salve_tpu.dataset import procedural
+
+
+@pytest.fixture(scope="module")
+def building():
+    return procedural.generate_building_json(seed=11)
+
+
+def test_schema_parses_via_pano_data(building):
+    fd = FloorData.from_json(building["merger"]["floor_01"], "floor_01")
+    assert len(fd.panos) >= 2
+    for pano in fd.panos:
+        assert pano.room_vertices_local_2d.shape[1] == 2
+        # Rectangular rooms: 4 vertices.
+        assert len(pano.room_vertices_local_2d) == 4
+
+
+def test_world_geometry_roundtrip(building):
+    """Every pano's layout must land on a consistent world rectangle."""
+    fd = FloorData.from_json(building["merger"]["floor_01"], "floor_01")
+    S = building["scale_meters_per_coordinate"]["floor_01"]
+    for pano in fd.panos:
+        # World-normalized -> metric: axis-aligned rectangle up to eps.
+        verts_w = pano.room_vertices_global_2d * S
+        xs, ys = np.sort(verts_w[:, 0]), np.sort(verts_w[:, 1])
+        assert np.allclose(xs[:2], xs[0], atol=1e-6)
+        assert np.allclose(xs[2:], xs[3], atol=1e-6)
+        assert np.allclose(ys[:2], ys[0], atol=1e-6)
+        assert np.allclose(ys[2:], ys[3], atol=1e-6)
+        # Camera strictly inside its room.
+        cam = pano.global_Sim2_local.transform_from(np.zeros((1, 2)))[0] * S
+        assert xs[0] < cam[0] < xs[3] and ys[0] < cam[1] < ys[3]
+
+
+def test_shared_doors_coincide_in_world_frame(building):
+    """A door between two rooms appears in both panos at the same world spot."""
+    fd = FloorData.from_json(building["merger"]["floor_01"], "floor_01")
+    from salve_tpu.hypotheses.wdo_alignment import are_visibly_adjacent
+
+    adjacent = 0
+    for i, p1 in enumerate(fd.panos):
+        for p2 in fd.panos[i + 1:]:
+            if are_visibly_adjacent(p1, p2):
+                adjacent += 1
+    assert adjacent >= 1, "no visibly adjacent pano pairs generated"
+
+
+def test_stage_a_generates_valid_hypotheses(tmp_path, building):
+    """Stage A on a procedural building yields aligned hypotheses with high
+    GT validity (the exporter's own consistency diagnostic)."""
+    import json
+
+    from salve_tpu.hypotheses.export import (
+        export_single_building_wdo_alignment_hypotheses,
+    )
+
+    bdir = tmp_path / "zind" / "9998"
+    bdir.mkdir(parents=True)
+    (bdir / "zind_data.json").write_text(json.dumps(building))
+    flags = export_single_building_wdo_alignment_hypotheses(
+        hypotheses_save_root=str(tmp_path / "hyp"),
+        building_id="9998",
+        json_annot_fpath=str(bdir / "zind_data.json"),
+        raw_dataset_dir=str(tmp_path / "zind"),
+        use_inferred_wdos_layout=False,
+    )
+    assert flags is not None and "floor_01" in flags
+    validity = np.mean(flags["floor_01"])
+    # Grid worlds are more regular than real homes, so coincidental
+    # alignments depress this a little below the fixtures' 0.92-1.00 (the
+    # reference documents the same failure mode on real data, e.g.
+    # scripts/export_alignment_hypotheses.py:255-261).
+    assert validity >= 0.75, f"GT-validity fraction too low: {validity}"
+    aligned = list((tmp_path / "hyp" / "9998" / "floor_01" / "gt_alignment_approx").glob("*.json"))
+    assert len(aligned) >= 1
+
+
+def test_materialize_procedural_building(tmp_path):
+    """Imagery + depth materialize for procedural geometry end-to-end."""
+    from salve_tpu.dataset.synthetic_zind import materialize_synthetic_building
+
+    procedural.write_procedural_buildings(str(tmp_path / "zind"), ["9997"], base_seed=3)
+    floors = materialize_synthetic_building(
+        str(tmp_path / "zind"), "9997", str(tmp_path / "raw"),
+        depth_save_root=str(tmp_path / "depth"),
+    )
+    assert floors["floor_01"] >= 2
+    panos = list((tmp_path / "raw" / "9997" / "panos").glob("*.jpg"))
+    depths = list((tmp_path / "depth" / "9997").glob("*.depth.png"))
+    assert len(panos) == len(depths) == floors["floor_01"]
