@@ -46,10 +46,15 @@ logger = logging.getLogger(__name__)
 @click.option("--depth_num_layers", type=int, default=50)
 @click.option("--confidence_threshold", type=float, default=0.5)
 @click.option("--method", type=str, default="pose2_slam")
+@click.option("--procedural_train_buildings", type=int, default=0,
+              help="Additionally generate N procedural buildings (ids from the "
+                   "train split) to scale verifier training data.")
+@click.option("--photometric_augmentation", is_flag=True, default=False)
 def run_end_to_end_eval(
     src_zind_dir, output_dir, train_building, eval_building, num_layers,
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
-    confidence_threshold, method,
+    confidence_threshold, method, procedural_train_buildings,
+    photometric_augmentation,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     t_start = time.time()
@@ -75,12 +80,29 @@ def run_end_to_end_eval(
 
         depth_provider = load_depth_provider(depth_ckpt, num_layers=depth_num_layers)
 
-    buildings = sorted({train_building, eval_building})
+    src_dirs = {train_building: src_zind_dir, eval_building: src_zind_dir}
+    if procedural_train_buildings > 0:
+        from salve_tpu.dataset.procedural import write_procedural_buildings
+        from salve_tpu.dataset.zind_partition import DATASET_SPLITS
+
+        # Procedural geometry rides unused train-split ids so the split
+        # discovery (dataset/bev_pairs.py) picks it up without changes.
+        proc_ids = [
+            bid for bid in sorted(DATASET_SPLITS["train"])
+            if bid not in (train_building, eval_building)
+        ][:procedural_train_buildings]
+        proc_src = out / "procedural_zind"
+        write_procedural_buildings(str(proc_src), proc_ids, base_seed=7)
+        for bid in proc_ids:
+            src_dirs[bid] = str(proc_src)
+        logger.info("generated %d procedural train buildings", len(proc_ids))
+
+    buildings = sorted(src_dirs)
     timings = {}
     for bid in buildings:
         t0 = time.time()
         floors = materialize_synthetic_building(
-            src_zind_dir, bid, str(raw_dir),
+            src_dirs[bid], bid, str(raw_dir),
             depth_save_root=str(depth_root), depth_provider=depth_provider,
         )
         timings[f"materialize_{bid}_s"] = round(time.time() - t0, 2)
@@ -124,6 +146,7 @@ def run_end_to_end_eval(
         model_save_dirpath=str(out / "ckpts"),
         # Fixture-scale data is ~1:8 imbalanced; plain CE collapses.
         class_balanced_loss=True,
+        apply_photometric_augmentation=photometric_augmentation,
     )
     t0 = time.time()
     results = train_loop.train(cfg)
