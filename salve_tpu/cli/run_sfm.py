@@ -4,7 +4,8 @@ Pipeline per (building, floor): parse serialized predictions -> confidence
 threshold -> [optional RANSAC spanning-tree edge filtering] -> most likely
 relative pose per edge -> [optional vanishing-angle alignment] -> [optional
 global/local consistency filtering] -> method dispatch (spanning_tree |
-pgo | pose2_slam | random_spanning_trees | SE2_cycles) -> report.
+pgo | pose2_slam | random_spanning_trees | SE2_cycles |
+filtered_spanning_tree) -> report.
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ import click
 import numpy as np
 
 from salve_tpu.algorithms import (
+    cluster_merging,
     cycle_consistency,
     global_local_consistency,
     pose2_slam,
@@ -247,6 +249,31 @@ def run_incremental_reconstruction(
             if not i2Si1_dict:
                 reports.append(_empty_report())
                 continue
+            wSi_list = spanning_tree.greedily_construct_st_Sim2(i2Si1_dict, verbose=False)
+
+        elif method == "filtered_spanning_tree":
+            # The reference left this branch as commented-out WIP
+            # (scripts/run_sfm.py:486-511); completed here per its intent:
+            # cycle-consistency filtering, then try to re-join split
+            # components with the most confident low-confidence crossing
+            # (algorithms/cluster_merging.py), then a greedy spanning tree.
+            i2Si1_all = dict(i2Si1_dict)
+            i2Si1_dict = cycle_consistency.filter_to_SE2_cycle_consistent_edges(
+                i2Si1_dict, two_view_reports_dict
+            )
+            if not i2Si1_dict:
+                reports.append(_empty_report())
+                continue
+            pano_layouts = {
+                i: np.asarray(pano.room_vertices_local_2d)
+                for i, pano in gt_floor_pose_graph.nodes.items()
+            }
+            merged = cluster_merging.merge_clusters(
+                i2Si1_all, i2Si1_dict, two_view_reports_dict,
+                pano_layouts=pano_layouts,
+            )
+            if merged is not None:
+                i2Si1_dict = merged
             wSi_list = spanning_tree.greedily_construct_st_Sim2(i2Si1_dict, verbose=False)
 
         else:

@@ -84,7 +84,7 @@ class TestEndToEndSfM:
     def test_hypotheses_and_predictions_exist(self, sfm_workspace) -> None:
         assert sfm_workspace["num_positive"] > 0
 
-    @pytest.mark.parametrize("method", ["spanning_tree", "pgo"])
+    @pytest.mark.parametrize("method", ["spanning_tree", "pgo", "SE2_cycles", "filtered_spanning_tree"])
     def test_reconstruction(self, sfm_workspace, method) -> None:
         reports = run_incremental_reconstruction(
             hypotheses_save_root=sfm_workspace["hyp_root"],
