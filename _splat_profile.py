@@ -8,6 +8,12 @@ All timed with the fetch-barrier discipline (reduce to scalar, float()).
 import time
 
 import jax
+
+# Variant (d) packs (key << 24 | rgb888) into true int64 values; without
+# x64, JAX silently downcasts to int32 and the pack overflows. Every array
+# in this script is explicitly typed, so enabling x64 changes nothing else.
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -125,3 +131,78 @@ def splat_dedup(xy, z, rgb, valid):
 
 t_dedup = timeit(splat_dedup, xy_d, z_d, rgb_d, valid_d)
 print(f"dedup-prepass + splat: {t_dedup*1000:.1f} ms")
+
+
+# Variant (c): packed-rgb888 gather — pack each point's color into ONE int32
+# before the splat, so the winner gather moves 4 bytes/cell instead of 12
+# (three f32 channels). Unpacking is vectorized VPU work.
+@jax.jit
+def splat_packed_gather(xy, z, rgb, valid):
+    b, n = z.shape
+    xx, yy = xy[..., 0], xy[..., 1]
+    z_bin = jnp.floor((z - bev_ops.ZMIN) / (bev_ops.ZMAX - bev_ops.ZMIN) * bev_ops.NUM_Z_SLICES).astype(jnp.int32)
+    ok = valid & (z >= bev_ops.ZMIN) & (z < bev_ops.ZMAX)
+    key = z_bin * n + jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    hw = H * W
+    b_off = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0) * hw
+    cell = jnp.where(ok, yy * W + xx + b_off, b * hw)
+    grid = jnp.full((b * hw,), -1, dtype=jnp.int32)
+    grid = grid.at[cell.reshape(-1)].max(jnp.where(ok, key, -1).reshape(-1), mode="drop")
+    grid = grid.reshape(b, hw)
+    occupied = grid >= 0
+    winner = jnp.where(occupied, grid % n, 0)
+    rgb_u8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.int32)
+    packed = (rgb_u8[..., 0] << 16) | (rgb_u8[..., 1] << 8) | rgb_u8[..., 2]  # (B,N)
+    got = jnp.take_along_axis(packed, winner, axis=1)  # (B,HW) int32
+    r8 = (got >> 16) & 0xFF
+    g8 = (got >> 8) & 0xFF
+    b8 = got & 0xFF
+    sparse = jnp.where(
+        occupied[..., None],
+        jnp.stack([r8, g8, b8], -1).astype(jnp.float32),
+        0.0,
+    )
+    return jnp.sum(sparse) + jnp.sum(occupied)
+
+
+t_packed = timeit(splat_packed_gather, xy_d, z_d, rgb_d, valid_d)
+print(f"packed-rgb888 gather splat: {t_packed*1000:.1f} ms")
+
+
+# Variant (d): ONE int64 scatter-max carrying (key << 24 | rgb888) — no
+# gather at all. key < 4*N needs 21 bits at N=352k; 21+24 = 45 < 63.
+@jax.jit
+def splat_int64_fused(xy, z, rgb, valid):
+    b, n = z.shape
+    xx, yy = xy[..., 0], xy[..., 1]
+    z_bin = jnp.floor((z - bev_ops.ZMIN) / (bev_ops.ZMAX - bev_ops.ZMIN) * bev_ops.NUM_Z_SLICES).astype(jnp.int32)
+    ok = valid & (z >= bev_ops.ZMIN) & (z < bev_ops.ZMAX)
+    key = (z_bin * n + jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)).astype(jnp.int64)
+    hw = H * W
+    b_off = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0) * hw
+    cell = jnp.where(ok, yy * W + xx + b_off, b * hw)
+    rgb_u8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.int64)
+    packed = (rgb_u8[..., 0] << 16) | (rgb_u8[..., 1] << 8) | rgb_u8[..., 2]
+    val = jnp.where(ok, (key << 24) | packed, jnp.int64(-1))
+    grid = jnp.full((b * hw,), -1, dtype=jnp.int64)
+    grid = grid.at[cell.reshape(-1)].max(val.reshape(-1), mode="drop")
+    grid = grid.reshape(b, hw)
+    occupied = grid >= 0
+    got = jnp.where(occupied, grid & 0xFFFFFF, 0)
+    r8 = (got >> 16) & 0xFF
+    g8 = (got >> 8) & 0xFF
+    b8 = got & 0xFF
+    sparse = jnp.stack([r8, g8, b8], -1).astype(jnp.float32)
+    return jnp.sum(sparse) + jnp.sum(occupied)
+
+
+try:
+    t_i64 = timeit(splat_int64_fused, xy_d, z_d, rgb_d, valid_d)
+    print(f"int64 fused scatter (no gather): {t_i64*1000:.1f} ms")
+except Exception as e:
+    print("int64 fused failed:", type(e).__name__, str(e)[:200])
+
+
+# Correctness of the packed-rgb888 production path is asserted in
+# tests/ops/test_bev.py::test_splat_quantize_u8_same_winners_exact_u8_colors
+# (identical winners; bit-exact u8 colors for u8-derived inputs).

@@ -49,12 +49,15 @@ logger = logging.getLogger(__name__)
 @click.option("--procedural_train_buildings", type=int, default=0,
               help="Additionally generate N procedural buildings (ids from the "
                    "train split) to scale verifier training data.")
+@click.option("--procedural_val_buildings", type=int, default=0,
+              help="Generate N procedural buildings with val-split ids so "
+                   "best-checkpoint selection uses a real held-out val mAcc.")
 @click.option("--photometric_augmentation", is_flag=True, default=False)
 def run_end_to_end_eval(
     src_zind_dir, output_dir, train_building, eval_building, num_layers,
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
     confidence_threshold, method, procedural_train_buildings,
-    photometric_augmentation,
+    procedural_val_buildings, photometric_augmentation,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     t_start = time.time()
@@ -81,21 +84,28 @@ def run_end_to_end_eval(
         depth_provider = load_depth_provider(depth_ckpt, num_layers=depth_num_layers)
 
     src_dirs = {train_building: src_zind_dir, eval_building: src_zind_dir}
-    if procedural_train_buildings > 0:
+    if procedural_train_buildings > 0 or procedural_val_buildings > 0:
         from salve_tpu.dataset.procedural import write_procedural_buildings
         from salve_tpu.dataset.zind_partition import DATASET_SPLITS
 
-        # Procedural geometry rides unused train-split ids so the split
+        # Procedural geometry rides unused train/val-split ids so the split
         # discovery (dataset/bev_pairs.py) picks it up without changes.
         proc_ids = [
             bid for bid in sorted(DATASET_SPLITS["train"])
             if bid not in (train_building, eval_building)
         ][:procedural_train_buildings]
+        proc_ids += [
+            bid for bid in sorted(DATASET_SPLITS["val"])
+            if bid not in (train_building, eval_building)
+        ][:procedural_val_buildings]
         proc_src = out / "procedural_zind"
         write_procedural_buildings(str(proc_src), proc_ids, base_seed=7)
         for bid in proc_ids:
             src_dirs[bid] = str(proc_src)
-        logger.info("generated %d procedural train buildings", len(proc_ids))
+        logger.info(
+            "generated %d procedural buildings (%d train / %d val ids)",
+            len(proc_ids), procedural_train_buildings, procedural_val_buildings,
+        )
 
     buildings = sorted(src_dirs)
     timings = {}

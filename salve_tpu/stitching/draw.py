@@ -46,6 +46,29 @@ def draw_camera_in_top_down_canvas(axis, pose: Pose, color: str, size: int = 20)
     axis.scatter(pose.position.x, pose.position.y, s=size, color=color, marker="o")
 
 
+def draw_dwo_xy_top_down_canvas(
+    axis, fig, filename: Optional[str], dwos_cluster_all
+) -> None:
+    """Draw every pano's global-frame W/D/O segments, colored by type.
+
+    Parity: salve/stitching/draw.py:57. `dwos_cluster_all` maps pano id ->
+    list of (Point2d, Point2d, type) triples with type in
+    {"door", "window", "opening"}.
+    """
+    colors = {"door": "red", "window": "blue", "opening": "green"}
+    for _panoid, dwos in dwos_cluster_all.items():
+        for dwo in dwos:
+            axis.plot(
+                [dwo[0].x, dwo[1].x],
+                [dwo[0].y, dwo[1].y],
+                color=colors[dwo[2]],
+                linewidth=0.8,
+            )
+    axis.set_aspect("equal")
+    if filename and fig is not None:
+        fig.savefig(filename, dpi=300)
+
+
 def draw_dwo_in_top_down_canvas(
     axis, xy_from: Point2d, xy_to: Point2d, color: str, pose: Optional[Pose] = None
 ) -> None:

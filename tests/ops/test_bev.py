@@ -132,6 +132,36 @@ class TestRenderBEVImage:
         assert img.sum() == 0
 
 
+def test_splat_quantize_u8_same_winners_exact_u8_colors():
+    """The packed-rgb888 gather must pick identical winners, and for
+    u8-derived colors (the production case: rgb255 = (u8/255)*255) its
+    colors must round-trip bit-exactly."""
+    rng = np.random.default_rng(3)
+    B, N, H, W = 2, 2000, 24, 24
+    xy = np.stack(
+        [rng.integers(0, W, (B, N)), rng.integers(0, H, (B, N))], -1
+    ).astype(np.int32)
+    z = rng.uniform(-3, 3, (B, N)).astype(np.float32)  # incl. out-of-range
+    u8 = rng.integers(0, 256, (B, N, 3)).astype(np.uint8)
+    rgb255 = (u8.astype(np.float32) / 255.0) * 255.0  # production scaling
+    valid = rng.uniform(size=(B, N)) < 0.9
+
+    base_sparse, base_occ = bev_ops.splat_zorder_batched(
+        jnp.asarray(xy), jnp.asarray(z), jnp.asarray(rgb255),
+        jnp.asarray(valid), H, W,
+    )
+    q_sparse, q_occ = bev_ops.splat_zorder_batched(
+        jnp.asarray(xy), jnp.asarray(z), jnp.asarray(rgb255),
+        jnp.asarray(valid), H, W, quantize_u8=True,
+    )
+    assert np.array_equal(np.asarray(base_occ), np.asarray(q_occ))
+    # Same winner, exact u8 color recovery.
+    base_u8 = np.clip(np.round(np.asarray(base_sparse)), 0, 255).astype(np.uint8)
+    q_np = np.asarray(q_sparse)
+    assert np.array_equal(q_np, np.round(q_np))  # integer-valued floats
+    assert np.array_equal(q_np.astype(np.uint8), base_u8)
+
+
 def test_splat_dedup_prepass_is_bit_exact():
     """Dominated-point dropping must not change the splat output at all."""
     import numpy as np

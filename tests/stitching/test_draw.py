@@ -46,6 +46,20 @@ def test_draw_all_room_shapes_with_poses_returns_global_polys(tmp_path):
     plt.close("all")
 
 
+def test_draw_dwo_xy_top_down_canvas(tmp_path):
+    fig, axis = plt.subplots()
+    dwos = {
+        0: [(Point2d(0, 0), Point2d(1, 0), "door"),
+            (Point2d(1, 1), Point2d(1, 2), "window")],
+        1: [(Point2d(-1, 0), Point2d(-1, 1), "opening")],
+    }
+    out = tmp_path / "dwos.png"
+    draw.draw_dwo_xy_top_down_canvas(axis, fig, str(out), dwos)
+    assert len(axis.lines) == 3
+    assert out.exists() and out.stat().st_size > 0
+    plt.close("all")
+
+
 def test_existing_helpers_draw_on_axis():
     fig, axis = plt.subplots()
     draw.draw_shape_in_top_down_canvas(axis, _square(), "black")
