@@ -23,8 +23,9 @@ default to bf16 passes, rounding the fill's box sums by ~0.6% of image
 range — the Pallas kernel (exact f32 shifts/adds) was the correct side.
 ops/bev.py now runs its convs at Precision.HIGHEST and the two paths agree
 exactly. This kernel IS the production texture-fill path on TPU backends
-for batches <= 32 (ops/bev.py:_use_pallas_fill and _PALLAS_FILL_MAX_BATCH,
-6.3x the XLA conv path); the XLA path serves CPU meshes and larger batches.
+at ANY batch size (ops/bev.py:_use_pallas_fill -> fill_and_mask_any_batch:
+the batch rides the kernel grid up to 32 images and lax.map chunks beyond;
+6.3x the XLA conv path); the XLA path serves CPU meshes only.
 Since round 2 the caller also applies ops/bev.py:convex_hull_mask on top
 (Delaunay-domain restriction, measured in
 tests/parity/test_interpolation_drift.py).

@@ -47,8 +47,8 @@ def _resize_imgs(imgs: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return jax.image.resize(imgs, (b, out_h, out_w, 3), method="linear")
 
 
-def make_fused_score_fn(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig):
-    """Build the jitted fused (render -> preprocess -> verify) batch fn.
+def _make_score_body(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig):
+    """The unjitted fused (render -> preprocess -> verify) batch body.
 
     The verifier must use modalities (ceiling_rgb_texture, floor_rgb_texture)
     — the 4-image early-fusion configuration.
@@ -56,7 +56,6 @@ def make_fused_score_fn(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig)
     if set(cfg.modalities) != {"ceiling_rgb_texture", "floor_rgb_texture"}:
         raise ValueError("Fused inference supports the ceiling+floor RGB verifier.")
 
-    @jax.jit
     def score_batch(
         params, batch_stats, depths, rgbs, bank_ceil, bank_floor,
         i1_idx, i2_idx, rotations, translations,
@@ -95,6 +94,42 @@ def make_fused_score_fn(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig)
     return score_batch
 
 
+def make_fused_score_fn(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig):
+    """Single-device jitted fused scorer (see _make_score_body)."""
+    return jax.jit(_make_score_body(state, cfg, render_cfg))
+
+
+def make_fused_score_fn_sharded(
+    state,
+    cfg: TrainingConfig,
+    render_cfg: BEVRenderConfig,
+    mesh,
+    axis_name: str = "data",
+):
+    """Mesh-sharded fused scorer: hypotheses data-parallel over the chips.
+
+    shard_map (not sharded jit) is the right SPMD story here: the batched
+    z-order splat folds the batch into ONE flat scatter index space
+    (ops/bev.py:splat_zorder_batched), which XLA cannot partition along the
+    batch — under shard_map each device runs the unmodified single-chip
+    program on its local hypothesis shard, with the pano/identity banks and
+    verifier params replicated, and no collectives at all (the scale-out of
+    the reference's per-pair Pool fan-out, scripts/render_dataset_bev.py:186
+    and SURVEY section 2.8, ridden over ICI instead of process forks).
+    """
+    body = _make_score_body(state, cfg, render_cfg)
+    rep = jax.sharding.PartitionSpec()
+    dat = jax.sharding.PartitionSpec(axis_name)
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, dat, dat, dat, dat),
+        out_specs=(dat, dat),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def score_floor_hypotheses(
     state,
     cfg: TrainingConfig,
@@ -104,6 +139,7 @@ def score_floor_hypotheses(
     hypotheses: List[Tuple[int, int, object]],
     batch_size: int = 32,
     render_cfg: BEVRenderConfig = BEVRenderConfig(),
+    mesh=None,
 ) -> List[ScoredHypothesis]:
     """Score every (i1, i2, AlignmentHypothesis) of a floor on device.
 
@@ -112,13 +148,22 @@ def score_floor_hypotheses(
         depths: (P,512,1024) depth bank; rgbs: (P,512,1024,3) in [0,1].
         pano_id_to_bank_row: pano ID -> bank row.
         hypotheses: (i1, i2, AlignmentHypothesis) triples.
-        batch_size: hypotheses per device batch.
+        batch_size: hypotheses per device batch (global across the mesh).
+        mesh: optional jax.sharding.Mesh — shards each batch over its
+            'data' axis (make_fused_score_fn_sharded); None = one device.
     """
     from salve_tpu.utils import profiler
 
     if not hypotheses:
         return []
-    score_batch = make_fused_score_fn(state, cfg, render_cfg)
+    if mesh is not None:
+        if batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size {mesh.size}"
+            )
+        score_batch = make_fused_score_fn_sharded(state, cfg, render_cfg, mesh)
+    else:
+        score_batch = make_fused_score_fn(state, cfg, render_cfg)
     depths_d = jnp.asarray(depths)
     rgbs_d = jnp.asarray(rgbs)
 

@@ -69,6 +69,43 @@ class TestFusedInference:
         r2 = score_floor_hypotheses(state, cfg, depths, rgbs, {3: 0, 5: 1}, hyps, 2, render_cfg)
         assert r1 == r2
 
+    def test_mesh_sharded_matches_single_device(self, tiny_setup) -> None:
+        """shard_map over the 8-device virtual mesh must reproduce the
+        single-device fused scorer exactly (pure data parallelism: no
+        collectives, replicated banks/params, local per-shard scatters)."""
+        from salve_tpu.parallel.mesh import make_mesh
+
+        cfg, state, render_cfg, depths, rgbs = tiny_setup
+        hyps = [
+            (3, 5, _hyp(15.0 * k, 0.2 * k - 1.0, 0.1 * k)) for k in range(12)
+        ]
+        base = score_floor_hypotheses(
+            state, cfg, depths, rgbs, {3: 0, 5: 1}, hyps,
+            batch_size=8, render_cfg=render_cfg,
+        )
+        mesh = make_mesh((8,))
+        with mesh:
+            sharded = score_floor_hypotheses(
+                state, cfg, depths, rgbs, {3: 0, 5: 1}, hyps,
+                batch_size=8, render_cfg=render_cfg, mesh=mesh,
+            )
+        assert [r.y_hat for r in sharded] == [r.y_hat for r in base]
+        np.testing.assert_allclose(
+            [r.prob for r in sharded], [r.prob for r in base], rtol=1e-5
+        )
+
+    def test_mesh_batch_divisibility_enforced(self, tiny_setup) -> None:
+        from salve_tpu.parallel.mesh import make_mesh
+
+        cfg, state, render_cfg, depths, rgbs = tiny_setup
+        mesh = make_mesh((8,))
+        with pytest.raises(ValueError, match="not divisible"):
+            score_floor_hypotheses(
+                state, cfg, depths, rgbs, {3: 0, 5: 1},
+                [(3, 5, _hyp(0.0, 0.0, 0.0))],
+                batch_size=6, render_cfg=render_cfg, mesh=mesh,
+            )
+
     def test_rejects_wrong_modalities(self, tiny_setup) -> None:
         _, state, render_cfg, _, _ = tiny_setup
         from salve_tpu.pipeline.fused_inference import make_fused_score_fn
