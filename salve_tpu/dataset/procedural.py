@@ -187,9 +187,18 @@ def generate_building_json(
                 "image_path": image_path,
                 "floor_plan_transformation": {
                     "rotation": theta,
-                    # Stored translation = t * s = camera position in
-                    # world-normalized units (see _ego_from_world docstring).
-                    "translation": [cx / S, cy / S],
+                    # ZInD stores the transform in the LEFT-handed frame: the
+                    # parser (common/pano_data.py:
+                    # generate_Sim2_from_floorplan_transform) negates the
+                    # stored translation's x, so the camera's world position
+                    # (cx, cy) must be stored as (-cx, cy) in world-normalized
+                    # units. (A +cx here shifts every pano's parsed world by
+                    # -2cx: each room stays self-consistent — axis-aligned,
+                    # camera inside — but shared doors stop coinciding across
+                    # panos, which silently destroys all cross-pano GT labels;
+                    # see tests/dataset/test_procedural.py's shared-door
+                    # world-coincidence test.)
+                    "translation": [-cx / S, cy / S],
                     "scale": s_pano,
                 },
                 "layout_raw": dict(layout),

@@ -114,6 +114,40 @@ def _hash01(*ints: int) -> float:
     return float(int(x) % 100003) / 100003.0
 
 
+def _hash01_grid(ix: np.ndarray, iy: np.ndarray, seed: int, salt: int) -> np.ndarray:
+    """Vectorized [0,1) hash of integer grid coordinates."""
+    h = (
+        ix.astype(np.int64) * np.int64(73856093)
+        ^ iy.astype(np.int64) * np.int64(19349663)
+        ^ np.int64((seed * 31 + salt) * 83492791)
+    )
+    return (np.abs(h) % np.int64(100003)).astype(np.float64) / 100003.0
+
+
+# Rug grid for world-anchored floor patches (see render_synthetic_pano).
+RUG_CELL_M, RUG_MARGIN_M = 2.0, 0.3
+
+
+def _smooth_field(
+    wx: np.ndarray, wy: np.ndarray, rng, amp: float = 0.12, n_waves: int = 2
+) -> np.ndarray:
+    """Smooth non-periodic per-channel color modulation, world-anchored.
+
+    A mixture of random-frequency sinusoids (0.25-0.9 rad/m): every world
+    location gets a distinct, slowly-varying tint, so two BEV crops agree
+    only when they truly cover the same place.
+    """
+    field = np.ones(wx.shape + (3,))
+    for c in range(3):
+        acc = np.zeros_like(wx)
+        for _ in range(n_waves):
+            fx, fy = rng.uniform(0.25, 0.9, 2)
+            px, py = rng.uniform(0, 2 * np.pi, 2)
+            acc = acc + np.sin(wx * fx + px) * np.sin(wy * fy + py)
+        field[..., c] = 1.0 + amp * acc / n_waves
+    return field
+
+
 def render_synthetic_pano(
     room_vertices_m: np.ndarray,
     camera_height_m: float,
@@ -167,12 +201,42 @@ def render_synthetic_pano(
     floor_col = np.where(checker[..., None], base_a, base_b) * np.where(
         plank[..., None], 1.0, 0.92
     )
+
+    # World-anchored location distinguishers. Without them the floor is a
+    # uniform *periodic* checker: BEV crops from different places look
+    # statistically identical (and exactly identical modulo the 1 m period),
+    # so misaligned overlaps carry no mismatch signal — measured as verifier
+    # precision at chance on held-out buildings despite a healthy val mAcc.
+    #  (a) smooth random color field: every location gets a distinct tint;
+    #  (b) hashed 2 m "area rugs": salient distinct-color patches on ~40%
+    #      of floor cells (furniture stand-in).
+    field = _smooth_field(wx, wy, rng)
+    floor_col = floor_col * field
+    ix = np.floor(wx / RUG_CELL_M).astype(np.int64)
+    iy = np.floor(wy / RUG_CELL_M).astype(np.int64)
+    has_rug = _hash01_grid(ix, iy, seed, 11) < 0.4
+    fx_in = wx - ix * RUG_CELL_M
+    fy_in = wy - iy * RUG_CELL_M
+    in_rug = (
+        has_rug
+        & (fx_in > RUG_MARGIN_M) & (fx_in < RUG_CELL_M - RUG_MARGIN_M)
+        & (fy_in > RUG_MARGIN_M) & (fy_in < RUG_CELL_M - RUG_MARGIN_M)
+    )
+    rug_col = np.stack(
+        [60.0 + 160.0 * _hash01_grid(ix, iy, seed, s) for s in (5, 6, 7)], -1
+    )
+    rug_stripe = (np.floor((fx_in + fy_in) / 0.2) % 2).astype(bool)
+    rug_col = rug_col * np.where(rug_stripe[..., None], 1.0, 0.9)
+    floor_col = np.where(in_rug[..., None], rug_col, floor_col)
     rgb = np.where((surface == FLOOR)[..., None], floor_col, rgb)
 
-    # Ceiling: light neutral with a slow plaster gradient.
+    # Ceiling: light neutral with a slow plaster gradient + the same
+    # world-anchored field (lighter), so the ceiling modality also tells
+    # locations apart.
     ceil_base = np.array([228, 226, 220]) + rng.integers(-8, 8, 3)
     grad = 1.0 - 0.05 * np.abs(np.sin(wx * 0.7) + np.cos(wy * 0.9)) / 2
-    rgb = np.where((surface == CEILING)[..., None], ceil_base * grad[..., None], rgb)
+    ceil_col = ceil_base * grad[..., None] * (1.0 + 0.6 * (field - 1.0))
+    rgb = np.where((surface == CEILING)[..., None], ceil_col, rgb)
 
     # Walls: hue hashed from the wall's quantized WORLD position (two panos
     # of one room hash the same physical wall to the same hue), 0.25 m

@@ -39,7 +39,14 @@ def test_world_geometry_roundtrip(building):
 
 
 def test_shared_doors_coincide_in_world_frame(building):
-    """A door between two rooms appears in both panos at the same world spot."""
+    """A door between two rooms appears in both panos at the same world spot.
+
+    This is THE cross-pano consistency invariant: each pano's parsed layout
+    is self-consistent under almost any transform-convention error (rooms
+    stay axis-aligned, the camera stays inside), so only shared-geometry
+    coincidence catches a wrong sign in the stored floor_plan_transformation
+    (a +cx translation shifted every pano's parsed world by -2cx and
+    silently zeroed the Stage-A positive rate)."""
     fd = FloorData.from_json(building["merger"]["floor_01"], "floor_01")
     from salve_tpu.hypotheses.wdo_alignment import are_visibly_adjacent
 
@@ -49,6 +56,31 @@ def test_shared_doors_coincide_in_world_frame(building):
             if are_visibly_adjacent(p1, p2):
                 adjacent += 1
     assert adjacent >= 1, "no visibly adjacent pano pairs generated"
+
+    def world_door_segments(p):
+        segs = []
+        for d in p.doors:
+            pts = p.global_Sim2_local.transform_from(np.array([d.pt1, d.pt2]))
+            segs.append(np.sort(pts, axis=0))  # endpoint-order invariant
+        return segs
+
+    # Every door must coincide (to 1e-6 world-normalized units) with a door
+    # of some OTHER pano, or belong to a room whose neighbor has no pano —
+    # in a connected grid with doors duplicated into both rooms, at least a
+    # few cross-pano coincidences must exist.
+    all_segs = [(p.id, s) for p in fd.panos for s in world_door_segments(p)]
+    n_coincident = 0
+    for k, (pid, s) in enumerate(all_segs):
+        for pid2, s2 in all_segs:
+            if pid2 == pid:
+                continue
+            if np.allclose(s, s2, atol=1e-6):
+                n_coincident += 1
+                break
+    assert n_coincident >= 2, (
+        f"only {n_coincident} doors coincide across panos — "
+        "the stored transform convention is broken"
+    )
 
 
 def test_stage_a_generates_valid_hypotheses(tmp_path, building):
@@ -78,7 +110,11 @@ def test_stage_a_generates_valid_hypotheses(tmp_path, building):
     # scripts/export_alignment_hypotheses.py:255-261).
     assert validity >= 0.75, f"GT-validity fraction too low: {validity}"
     aligned = list((tmp_path / "hyp" / "9998" / "floor_01" / "gt_alignment_approx").glob("*.json"))
-    assert len(aligned) >= 1
+    negative = list((tmp_path / "hyp" / "9998" / "floor_01" / "incorrect_alignment").glob("*.json"))
+    # Real buildings label ~10-15% of hypotheses positive; the broken
+    # transform convention produced ~1% here while still passing a >=1 bar.
+    assert len(aligned) >= 5, f"only {len(aligned)} positive hypotheses"
+    assert len(aligned) / max(len(aligned) + len(negative), 1) >= 0.04
 
 
 def test_materialize_procedural_building(tmp_path):

@@ -112,7 +112,7 @@ def test_world_anchored_textures_agree_across_viewpoints():
     col_a = out_a["rgb"][floor_a].astype(np.float64)
     flat_b = wxy_b[floor_b]
     col_b = out_b["rgb"][floor_b].astype(np.float64)
-    for _ in range(150):
+    for _ in range(400):
         k = rng.integers(0, len(flat_a))
         p = flat_a[k]
         # Skip points near checker/plank boundaries (quantization flips):
@@ -124,6 +124,16 @@ def test_world_anchored_textures_agree_across_viewpoints():
             or min(fc[1], 1 - fc[1]) < 0.1
             or min(fp, 1 - fp) < 0.15
         ):
+            continue
+        # Likewise skip the rug edges and in-rug stripe boundaries (the 2 m
+        # hashed rug cells are inset by RUG_MARGIN_M; stripes every 0.2 m).
+        fr = (p / synthetic.RUG_CELL_M) % 1.0
+        margin_frac = synthetic.RUG_MARGIN_M / synthetic.RUG_CELL_M
+        if any(abs(f - margin_frac) < 0.04 or abs(f - (1 - margin_frac)) < 0.04 for f in fr):
+            continue
+        maybe_in_rug = all(margin_frac < f < 1 - margin_frac for f in fr)
+        fs = ((p[0] + p[1]) / 0.2) % 1.0
+        if maybe_in_rug and min(fs, 1 - fs) < 0.25:
             continue
         d = np.linalg.norm(flat_b - p, axis=1)
         j = np.argmin(d)
