@@ -72,7 +72,7 @@ def materialize_synthetic_building(
                 scale_meters_per_coordinate=pg.scale_meters_per_coordinate,
             )
             stem = Path(pano.image_path).stem
-            imageio.imwrite(str(bdir / "panos" / f"{stem}.jpg"), out["rgb"])
+            imageio.imwrite(str(bdir / "panos" / f"{stem}.jpg"), out["rgb"], quality=95)
             if depth_save_root is not None:
                 ddir = Path(depth_save_root) / building_id
                 ddir.mkdir(parents=True, exist_ok=True)

@@ -167,8 +167,11 @@ def _render_texture_pairs_batched(
         chunk, imgs1_d, imgs2_d = pending
         imgs1, imgs2 = np.asarray(imgs1_d), np.asarray(imgs2_d)
         for k, w in enumerate(chunk):
-            writer_pool.submit(imageio.imwrite, w[4], imgs1[k])
-            writer_pool.submit(imageio.imwrite, w[5], imgs2[k])
+            # quality=95: default JPEG quality (75) adds ~5/255 of noise,
+            # comparable to the aligned-vs-misaligned texture signal the
+            # verifier trains on (BENCH_NOTES round-2 root-cause hunt).
+            writer_pool.submit(imageio.imwrite, w[4], imgs1[k], quality=95)
+            writer_pool.submit(imageio.imwrite, w[5], imgs2[k], quality=95)
 
     # One-batch lookahead: batch k's device->host transfer overlaps batch
     # k+1's on-device render (JAX dispatch is asynchronous).

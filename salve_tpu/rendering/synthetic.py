@@ -129,7 +129,7 @@ RUG_CELL_M, RUG_MARGIN_M = 2.0, 0.3
 
 
 def _smooth_field(
-    wx: np.ndarray, wy: np.ndarray, rng, amp: float = 0.12, n_waves: int = 2
+    wx: np.ndarray, wy: np.ndarray, rng, amp: float = 0.22, n_waves: int = 2
 ) -> np.ndarray:
     """Smooth non-periodic per-channel color modulation, world-anchored.
 
@@ -214,7 +214,7 @@ def render_synthetic_pano(
     floor_col = floor_col * field
     ix = np.floor(wx / RUG_CELL_M).astype(np.int64)
     iy = np.floor(wy / RUG_CELL_M).astype(np.int64)
-    has_rug = _hash01_grid(ix, iy, seed, 11) < 0.4
+    has_rug = _hash01_grid(ix, iy, seed, 11) < 0.55
     fx_in = wx - ix * RUG_CELL_M
     fy_in = wy - iy * RUG_CELL_M
     in_rug = (
