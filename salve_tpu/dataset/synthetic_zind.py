@@ -45,7 +45,10 @@ def materialize_synthetic_building(
     """
     import imageio.v2 as imageio
 
-    from salve_tpu.rendering.synthetic import synthetic_pano_for_pano_data
+    from salve_tpu.rendering.synthetic import (
+        build_floor_world,
+        render_synthetic_pano_world,
+    )
 
     bdir = Path(out_raw_dir) / building_id
     (bdir / "panos").mkdir(parents=True, exist_ok=True)
@@ -59,17 +62,25 @@ def materialize_synthetic_building(
     )
     for floor_id in floors:
         pg = posegraph2d.get_gt_pose_graph(building_id, floor_id, str(out_raw_dir))
+        # ONE multi-room world + texture seed per building+floor
+        # (world-anchored): panos viewing the same space must render
+        # agreeing colors, and rays pass through door/opening portals so
+        # cross-room pano pairs share visible content — both are the
+        # verifier's training signal.
+        world = build_floor_world(pg)
+        floor_seed = (
+            seed * 4093 + zlib.crc32(f"{building_id}/{floor_id}".encode())
+        ) & 0x7FFFFFFF
+        S = float(pg.scale_meters_per_coordinate)
         for i, pano in pg.nodes.items():
             cam_h = pg.get_camera_height_m(i)
-            # ONE texture world per building+floor (world-anchored): panos
-            # viewing the same space must render agreeing colors — that
-            # agreement is the verifier's training signal.
-            out = synthetic_pano_for_pano_data(
-                pano,
-                cam_h,
-                seed=(seed * 4093 + zlib.crc32(f"{building_id}/{floor_id}".encode()))
-                & 0x7FFFFFFF,
-                scale_meters_per_coordinate=pg.scale_meters_per_coordinate,
+            cam_xy = pano.global_Sim2_local.transform_from(np.zeros((1, 2)))[0] * S
+            out = render_synthetic_pano_world(
+                world,
+                cam_xy=cam_xy,
+                cam_h=cam_h,
+                seed=floor_seed,
+                world_R=np.asarray(pano.global_Sim2_local.rotation, dtype=np.float64),
             )
             stem = Path(pano.image_path).stem
             imageio.imwrite(str(bdir / "panos" / f"{stem}.jpg"), out["rgb"], quality=95)

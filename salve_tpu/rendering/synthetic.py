@@ -277,6 +277,285 @@ def render_synthetic_pano(
     return out
 
 
+class FloorWorld:
+    """Multi-room world model of one building floor, world-metric.
+
+    Walls are the union of every room's polygon edges; door/opening spans
+    are transparent "portals" so rays continue into the neighboring room —
+    the physics that gives two panos in adjacent rooms SHARED visible floor
+    and ceiling content. (Single-room raycasts render zero overlap for
+    cross-room pano pairs, which removes exactly the texture-agreement
+    signal the alignment verifier must learn; the reference's real panos
+    see through open doors, e.g. the overlap regions in
+    /root/reference/tests/test_data/Renderings/.) Windows stay opaque.
+    """
+
+    def __init__(self, rooms, seg_a, seg_b, portals):
+        self.rooms = rooms          # list of (V,2) world-metric polygons
+        self.seg_a = seg_a          # (E,2) segment starts
+        self.seg_b = seg_b          # (E,2) segment ends
+        # portals[e] = list of (s_lo, s_hi, z_lo, z_hi) transparent spans on
+        # segment e (arc-length meters along the segment, absolute z meters).
+        self.portals = portals
+
+
+def build_floor_world(pose_graph) -> "FloorWorld":
+    """FloorWorld from a GT pose graph (PoseGraph2d with metric scale)."""
+    S = float(pose_graph.scale_meters_per_coordinate)
+    rooms, seg_a, seg_b = [], [], []
+    portal_rects = []  # (a_xy, b_xy, z_lo, z_hi) world-metric
+    for pid, pano in pose_graph.nodes.items():
+        cam_h = pose_graph.get_camera_height_m(pid)
+        ring = np.asarray(pano.room_vertices_global_2d, dtype=np.float64) * S
+        rooms.append(ring)
+        a = ring
+        b = np.roll(ring, -1, axis=0)
+        seg_a.append(a)
+        seg_b.append(b)
+        for wdo in list(pano.doors or []) + list(pano.openings or []):
+            pts = np.asarray(wdo.vertices_global_2d, dtype=np.float64) * S
+            z_lo = (float(wdo.bottom_z) + 1.0) * cam_h
+            z_hi = (float(wdo.top_z) + 1.0) * cam_h
+            portal_rects.append((pts[0], pts[1], z_lo, z_hi))
+    seg_a = np.concatenate(seg_a, axis=0)
+    seg_b = np.concatenate(seg_b, axis=0)
+
+    # Associate each portal with every wall segment it lies on (both copies
+    # of a shared wall get it).
+    e_vec = seg_b - seg_a
+    e_len = np.linalg.norm(e_vec, axis=1)
+    portals = [[] for _ in range(len(seg_a))]
+    for (pa, pb, z_lo, z_hi) in portal_rects:
+        for e in range(len(seg_a)):
+            if e_len[e] < 1e-9:
+                continue
+            u = e_vec[e] / e_len[e]
+            for p in (pa, pb):
+                d = p - seg_a[e]
+                s = float(d @ u)
+                off = float(np.linalg.norm(d - s * u))
+                if off > 0.05 or s < -0.05 or s > e_len[e] + 0.05:
+                    break
+            else:
+                s0 = float((pa - seg_a[e]) @ u)
+                s1 = float((pb - seg_a[e]) @ u)
+                portals[e].append((min(s0, s1), max(s0, s1), z_lo, z_hi))
+    return FloorWorld(rooms, seg_a, seg_b, portals)
+
+
+def raycast_floor_world(
+    world: FloorWorld,
+    cam_xy: np.ndarray,
+    cam_h: float,
+    ceil_h: float,
+    world_R: np.ndarray,
+    h: int = PANO_H,
+    w: int = PANO_W,
+    row_block: int = 64,
+) -> Dict[str, np.ndarray]:
+    """Cast pano rays through the multi-room world with transparent portals.
+
+    Args:
+        cam_xy: (2,) camera position, world-metric.
+        cam_h: camera height above the floor (floor plane is z=0 world).
+        ceil_h: ceiling height above the floor.
+        world_R: (2,2) camera->world rotation (pano heading).
+
+    Returns dict with camera-frame 'depth' / 'hit_xyz' (same conventions as
+    raycast_layout), 'surface', and world-anchored 'wall_seg' (global
+    segment index of wall hits, -1 else) + 'wall_s' (arc length, meters).
+    """
+    rays = get_uni_sphere_xyz(h, w)  # (h,w,3) camera frame
+    a, b = world.seg_a, world.seg_b
+    e_vec = b - a
+    e_len = np.linalg.norm(e_vec, axis=1)
+    E = len(a)
+    o = np.asarray(cam_xy, dtype=np.float64)
+    o_z = float(cam_h)
+
+    depth = np.full((h, w), np.inf)
+    wall_seg = np.full((h, w), -1, np.int32)
+    wall_s = np.zeros((h, w))
+    surface = np.full((h, w), WALL, np.int8)
+
+    for r0 in range(0, h, row_block):
+        r1 = min(r0 + row_block, h)
+        d_cam = rays[r0:r1].reshape(-1, 3)
+        d_xy = d_cam[:, :2] @ np.asarray(world_R, dtype=np.float64).T
+        dz = d_cam[:, 2]
+        dx, dy = d_xy[:, 0][:, None], d_xy[:, 1][:, None]
+
+        denom = dx * (-e_vec[:, 1]) + dy * e_vec[:, 0]
+        rel = a - o  # (E,2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (rel[:, 0] * (-e_vec[:, 1]) + rel[:, 1] * e_vec[:, 0]) / denom
+            s = (dx * rel[:, 1] - dy * rel[:, 0]) / denom
+        hit = (np.abs(denom) > 1e-12) & (t > 1e-6) & (s >= 0.0) & (s <= 1.0)
+        z_hit = o_z + t * dz[:, None]
+        in_band = (z_hit >= -1e-9) & (z_hit <= ceil_h + 1e-9)
+        blocking = hit & in_band
+        # Portals: a hit inside a door/opening rectangle does not block.
+        for e in range(E):
+            for (s_lo, s_hi, z_lo, z_hi) in world.portals[e]:
+                s_m = s[:, e] * e_len[e]
+                inside = (
+                    blocking[:, e]
+                    & (s_m >= s_lo - 1e-6) & (s_m <= s_hi + 1e-6)
+                    & (z_hit[:, e] >= z_lo - 1e-6) & (z_hit[:, e] <= z_hi + 1e-6)
+                )
+                blocking[:, e] &= ~inside
+        t_blk = np.where(blocking, t, np.inf)
+        e_best = np.argmin(t_blk, axis=1)
+        t_wall = t_blk[np.arange(len(e_best)), e_best]
+        s_best = s[np.arange(len(e_best)), e_best] * e_len[e_best]
+
+        # Floor/ceiling plane hits, valid only inside the room union.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_floor = np.where(dz < -1e-6, (0.0 - o_z) / dz, np.inf)
+            t_ceil = np.where(dz > 1e-6, (ceil_h - o_z) / dz, np.inf)
+
+        def inside_union(tp):
+            finite = np.isfinite(tp)
+            pt = o[None, :] + np.where(finite, tp, 0.0)[:, None] * d_xy
+            inside = np.zeros(len(tp), bool)
+            for ring in world.rooms:
+                ra, rb = ring, np.roll(ring, -1, axis=0)
+                # even-odd crossing test, vectorized over ring edges
+                cond = (ra[None, :, 1] > pt[:, 1:2]) != (rb[None, :, 1] > pt[:, 1:2])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    x_int = ra[None, :, 0] + (
+                        (pt[:, 1:2] - ra[None, :, 1])
+                        / (rb[None, :, 1] - ra[None, :, 1] + 1e-300)
+                    ) * (rb[None, :, 0] - ra[None, :, 0])
+                crossings = np.sum(cond & (x_int > pt[:, 0:1]), axis=1)
+                inside |= (crossings % 2).astype(bool)
+            return inside & finite
+
+        t_floor = np.where(inside_union(t_floor), t_floor, np.inf)
+        t_ceil = np.where(inside_union(t_ceil), t_ceil, np.inf)
+
+        d_blk = np.minimum(np.minimum(t_floor, t_ceil), t_wall)
+        surf = np.where(
+            d_blk == t_wall, WALL, np.where(d_blk == t_floor, FLOOR, CEILING)
+        ).astype(np.int8)
+        shape = (r1 - r0, w)
+        depth[r0:r1] = np.clip(d_blk, 0.0, 65.0).reshape(shape)
+        surface[r0:r1] = surf.reshape(shape)
+        wall_seg[r0:r1] = np.where(
+            surf == WALL, e_best.astype(np.int32), -1
+        ).reshape(shape)
+        wall_s[r0:r1] = np.where(surf == WALL, s_best, 0.0).reshape(shape)
+
+    hit_xyz = rays * depth[..., None]
+    return {
+        "depth": depth.astype(np.float32),
+        "surface": surface,
+        "hit_xyz": hit_xyz.astype(np.float32),
+        "wall_seg": wall_seg,
+        "wall_s": wall_s.astype(np.float32),
+    }
+
+
+def render_synthetic_pano_world(
+    world: FloorWorld,
+    cam_xy: np.ndarray,
+    cam_h: float,
+    ceil_h: Optional[float] = None,
+    h: int = PANO_H,
+    w: int = PANO_W,
+    seed: int = 0,
+    world_R: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """Textured multi-room pano + exact depth (world-anchored textures).
+
+    Texture formulas are IDENTICAL to render_synthetic_pano (same rng draw
+    order, same world-anchored fields and hashes), so single-room and
+    world renders of the same seed agree wherever both see the same
+    surface point.
+    """
+    if ceil_h is None:
+        ceil_h = 2.0 * cam_h
+    if world_R is None:
+        world_R = np.eye(2)
+    cast = raycast_floor_world(world, cam_xy, cam_h, ceil_h, world_R, h, w)
+    depth, surface = cast["depth"], cast["surface"]
+    xyz = cast["hit_xyz"]
+
+    wxy = xyz[..., :2] @ np.asarray(world_R, dtype=np.float64).T + np.asarray(
+        cam_xy, dtype=np.float64
+    )
+    wx, wy = wxy[..., 0], wxy[..., 1]
+    wz = xyz[..., 2] + cam_h
+
+    rng = np.random.default_rng(seed)
+    rgb = np.zeros((h, w, 3), dtype=np.float64)
+
+    base_a = np.array([139, 105, 74]) + rng.integers(-15, 15, 3)
+    base_b = np.array([168, 135, 100]) + rng.integers(-15, 15, 3)
+    checker = ((np.floor(wx / 0.5) + np.floor(wy / 0.5)) % 2).astype(bool)
+    plank = (np.floor(wy / 0.12) % 2).astype(bool)
+    floor_col = np.where(checker[..., None], base_a, base_b) * np.where(
+        plank[..., None], 1.0, 0.92
+    )
+    field = _smooth_field(wx, wy, rng)
+    floor_col = floor_col * field
+    ix = np.floor(wx / RUG_CELL_M).astype(np.int64)
+    iy = np.floor(wy / RUG_CELL_M).astype(np.int64)
+    has_rug = _hash01_grid(ix, iy, seed, 11) < 0.55
+    fx_in = wx - ix * RUG_CELL_M
+    fy_in = wy - iy * RUG_CELL_M
+    in_rug = (
+        has_rug
+        & (fx_in > RUG_MARGIN_M) & (fx_in < RUG_CELL_M - RUG_MARGIN_M)
+        & (fy_in > RUG_MARGIN_M) & (fy_in < RUG_CELL_M - RUG_MARGIN_M)
+    )
+    rug_col = np.stack(
+        [60.0 + 160.0 * _hash01_grid(ix, iy, seed, s) for s in (5, 6, 7)], -1
+    )
+    rug_stripe = (np.floor((fx_in + fy_in) / 0.2) % 2).astype(bool)
+    rug_col = rug_col * np.where(rug_stripe[..., None], 1.0, 0.9)
+    floor_col = np.where(in_rug[..., None], rug_col, floor_col)
+    rgb = np.where((surface == FLOOR)[..., None], floor_col, rgb)
+
+    ceil_base = np.array([228, 226, 220]) + rng.integers(-8, 8, 3)
+    grad = 1.0 - 0.05 * np.abs(np.sin(wx * 0.7) + np.cos(wy * 0.9)) / 2
+    ceil_col = ceil_base * grad[..., None] * (1.0 + 0.6 * (field - 1.0))
+    rgb = np.where((surface == CEILING)[..., None], ceil_col, rgb)
+
+    # Wall hue hashed from the GLOBAL segment's quantized world midpoint —
+    # the same physical wall hashes identically from every viewpoint (and
+    # identically to render_synthetic_pano's per-room variant).
+    seg_idx = cast["wall_seg"]
+    mids = 0.5 * (world.seg_a + world.seg_b)  # (E,2) world-metric
+    qm = np.round(mids / 0.25).astype(np.int64)
+    n_segs = max(len(world.seg_a), 1)
+    hue_lut = np.array(
+        [
+            [
+                140 + 90 * _hash01(seed, int(qm[k, 0]), int(qm[k, 1]), 1),
+                140 + 90 * _hash01(seed, int(qm[k, 0]), int(qm[k, 1]), 2),
+                130 + 90 * _hash01(seed, int(qm[k, 0]), int(qm[k, 1]), 3),
+            ]
+            for k in range(n_segs)
+        ]
+    )
+    wall_base = hue_lut[np.clip(seg_idx, 0, n_segs - 1)]
+    stripe = (np.floor((wx + wy) / 0.25) % 2).astype(bool)
+    baseboard = wz < 0.12
+    crown = wz > (ceil_h - 0.10)
+    wall_col = wall_base * np.where(stripe[..., None], 1.0, 0.90)
+    wall_col = np.where(baseboard[..., None], np.array([70.0, 60, 55]), wall_col)
+    wall_col = np.where(crown[..., None], np.array([210.0, 208, 200]), wall_col)
+    rgb = np.where((surface == WALL)[..., None], wall_col, rgb)
+
+    shade = 1.0 / (1.0 + 0.035 * depth)
+    rgb = rgb * shade[..., None]
+    rgb = rgb + rng.normal(0.0, 2.5, rgb.shape)
+    out = dict(cast)
+    out["rgb"] = np.clip(rgb, 0, 255).astype(np.uint8)
+    return out
+
+
 def synthetic_pano_for_pano_data(
     pano,
     camera_height_m: float,

@@ -80,6 +80,60 @@ def test_synthetic_pano_for_pano_data_scales_layout(ref_test_data):
     assert np.isclose(out["depth"][-1, 0], cam_h, atol=0.02)
 
 
+def test_floor_world_rays_pass_through_door_portals():
+    """Rays through a door portal reach the neighboring room's floor;
+    windowless walls block. This is what gives cross-room pano pairs
+    shared visible content (the verifier's signal)."""
+    room_a = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])
+    room_b = np.array([[4.0, 0.0], [8.0, 0.0], [8.0, 3.0], [4.0, 3.0]])
+    world = synthetic.FloorWorld(
+        rooms=[room_a, room_b],
+        seg_a=np.concatenate([room_a, room_b]),
+        seg_b=np.concatenate([np.roll(room_a, -1, 0), np.roll(room_b, -1, 0)]),
+        portals=[[] for _ in range(8)],
+    )
+    # Door on the shared wall x=4, y in [1.2, 2.2], z in [0, 2.05]:
+    # segment 1 of room A is (4,0)->(4,3); segment 7 of room B is (4,3)->(4,0).
+    world.portals[1] = [(1.2, 2.2, 0.0, 2.05)]
+    world.portals[7] = [(0.8, 1.8, 0.0, 2.05)]  # same span, arc from (4,3)
+
+    cam = np.array([1.0, 1.7])
+    cast = synthetic.raycast_floor_world(world, cam, 1.5, 3.0, np.eye(2), h=128, w=256)
+    xyz = cast["hit_xyz"]
+    wxy = xyz[..., :2] + cam
+    floor = cast["surface"] == synthetic.FLOOR
+    # Some floor hits lie in room B (through the door).
+    in_b = floor & (wxy[..., 0] > 4.05)
+    assert in_b.sum() > 20, f"no floor seen through the door ({in_b.sum()})"
+    # No floor hit beyond room B's far wall, and none outside the union in y.
+    assert wxy[floor][:, 0].max() <= 8.0 + 1e-6
+    assert wxy[floor][:, 1].min() >= -1e-6 and wxy[floor][:, 1].max() <= 3.0 + 1e-6
+    # Through-door hits only within the door's y-span (rays fan from the
+    # camera through the portal).
+    assert wxy[in_b][:, 1].min() >= 0.0  # inside room B
+    # Walls block above the door top: a ray aimed at the shared wall near
+    # the ceiling must hit the WALL at x=4, not pass through.
+    wall = cast["surface"] == synthetic.WALL
+    wall_x = wxy[wall][:, 0]
+    assert (np.abs(wall_x - 4.0) < 1e-3).any(), "shared wall never hit above the door"
+
+
+def test_floor_world_matches_single_room_where_no_portals():
+    """With no portals, the world raycast of one room equals raycast_layout."""
+    ring_world = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])
+    cam = np.array([1.5, 1.2])
+    world = synthetic.FloorWorld(
+        rooms=[ring_world],
+        seg_a=ring_world,
+        seg_b=np.roll(ring_world, -1, 0),
+        portals=[[] for _ in range(4)],
+    )
+    cast_w = synthetic.raycast_floor_world(world, cam, 1.4, 2.9, np.eye(2), h=64, w=128)
+    cast_s = synthetic.raycast_layout(ring_world - cam, 1.4, 2.9, h=64, w=128)
+    assert np.allclose(cast_w["depth"], cast_s["depth"], atol=1e-4)
+    assert np.array_equal(cast_w["surface"], cast_s["surface"])
+
+
 def test_world_anchored_textures_agree_across_viewpoints():
     """Two cameras in one room render the same color for the same world point.
 
