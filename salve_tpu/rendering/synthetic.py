@@ -343,6 +343,10 @@ def build_floor_world(pose_graph) -> "FloorWorld":
     return FloorWorld(rooms, seg_a, seg_b, portals)
 
 
+MAX_PORTALS_PER_SEG = 3
+MAX_WALL_CANDIDATES = 16  # nearest wall crossings examined per column
+
+
 def raycast_floor_world(
     world: FloorWorld,
     cam_xy: np.ndarray,
@@ -351,9 +355,19 @@ def raycast_floor_world(
     world_R: np.ndarray,
     h: int = PANO_H,
     w: int = PANO_W,
-    row_block: int = 64,
 ) -> Dict[str, np.ndarray]:
     """Cast pano rays through the multi-room world with transparent portals.
+
+    Column decomposition: a pano ray's AZIMUTH — hence every wall-crossing
+    distance and arc position — depends only on the pixel column, so the 2D
+    wall solve is (W, E) instead of (H*W, E). Per pixel only the K nearest
+    wall crossings of its column are walked (portals are axis gaps, so a
+    ray traverses at most a handful of walls), and the first crossing whose
+    hit height is neither above/below the wall band nor inside a portal
+    rectangle blocks the ray. Floor/ceiling plane hits compete in
+    horizontal-distance space; a wall that would block first wins. (No
+    point-in-union test: interior portals always lead into another room;
+    the rare exterior door renders a consistent world-anchored "patio".)
 
     Args:
         cam_xy: (2,) camera position, world-metric.
@@ -365,94 +379,90 @@ def raycast_floor_world(
     raycast_layout), 'surface', and world-anchored 'wall_seg' (global
     segment index of wall hits, -1 else) + 'wall_s' (arc length, meters).
     """
-    rays = get_uni_sphere_xyz(h, w)  # (h,w,3) camera frame
-    a, b = world.seg_a, world.seg_b
+    K = MAX_WALL_CANDIDATES
+    rays = get_uni_sphere_xyz(h, w).astype(np.float32)  # (h,w,3) camera frame
+    a = world.seg_a.astype(np.float32)
+    b = world.seg_b.astype(np.float32)
     e_vec = b - a
     e_len = np.linalg.norm(e_vec, axis=1)
     E = len(a)
-    o = np.asarray(cam_xy, dtype=np.float64)
-    o_z = float(cam_h)
+    o = np.asarray(cam_xy, dtype=np.float32)
+    o_z = np.float32(cam_h)
 
-    depth = np.full((h, w), np.inf)
-    wall_seg = np.full((h, w), -1, np.int32)
-    wall_s = np.zeros((h, w))
-    surface = np.full((h, w), WALL, np.int8)
+    # --- Per-column 2D solve: unit azimuth direction u[col]. -------------
+    d0 = rays[0]  # any row shares the column azimuths
+    u = d0[:, :2] @ np.asarray(world_R, dtype=np.float32).T
+    u = u / np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-12)  # (W,2)
 
-    for r0 in range(0, h, row_block):
-        r1 = min(r0 + row_block, h)
-        d_cam = rays[r0:r1].reshape(-1, 3)
-        d_xy = d_cam[:, :2] @ np.asarray(world_R, dtype=np.float64).T
-        dz = d_cam[:, 2]
-        dx, dy = d_xy[:, 0][:, None], d_xy[:, 1][:, None]
+    ux, uy = u[:, 0][:, None], u[:, 1][:, None]
+    denom = ux * (-e_vec[:, 1]) + uy * e_vec[:, 0]  # (W,E)
+    rel = a - o
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r2 = (rel[:, 0] * (-e_vec[:, 1]) + rel[:, 1] * e_vec[:, 0]) / denom
+        s = (ux * rel[:, 1] - uy * rel[:, 0]) / denom
+    hit = (np.abs(denom) > 1e-12) & (r2 > 1e-6) & (s >= 0.0) & (s <= 1.0)
+    r2 = np.where(hit, r2, np.inf)  # (W,E) horizontal crossing distance
 
-        denom = dx * (-e_vec[:, 1]) + dy * e_vec[:, 0]
-        rel = a - o  # (E,2)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = (rel[:, 0] * (-e_vec[:, 1]) + rel[:, 1] * e_vec[:, 0]) / denom
-            s = (dx * rel[:, 1] - dy * rel[:, 0]) / denom
-        hit = (np.abs(denom) > 1e-12) & (t > 1e-6) & (s >= 0.0) & (s <= 1.0)
-        z_hit = o_z + t * dz[:, None]
-        in_band = (z_hit >= -1e-9) & (z_hit <= ceil_h + 1e-9)
-        blocking = hit & in_band
-        # Portals: a hit inside a door/opening rectangle does not block.
-        for e in range(E):
-            for (s_lo, s_hi, z_lo, z_hi) in world.portals[e]:
-                s_m = s[:, e] * e_len[e]
-                inside = (
-                    blocking[:, e]
-                    & (s_m >= s_lo - 1e-6) & (s_m <= s_hi + 1e-6)
-                    & (z_hit[:, e] >= z_lo - 1e-6) & (z_hit[:, e] <= z_hi + 1e-6)
-                )
-                blocking[:, e] &= ~inside
-        t_blk = np.where(blocking, t, np.inf)
-        e_best = np.argmin(t_blk, axis=1)
-        t_wall = t_blk[np.arange(len(e_best)), e_best]
-        s_best = s[np.arange(len(e_best)), e_best] * e_len[e_best]
+    # K nearest crossings per column, ascending.
+    K_eff = min(K, E)
+    part = np.argpartition(r2, K_eff - 1, axis=1)[:, :K_eff]  # (W,K)
+    rk = np.take_along_axis(r2, part, axis=1)
+    order = np.argsort(rk, axis=1)
+    seg_k = np.take_along_axis(part, order, axis=1)  # (W,K) segment ids
+    rk = np.take_along_axis(rk, order, axis=1)  # (W,K) ascending
+    sk = np.take_along_axis(s, seg_k, axis=1) * e_len[seg_k]  # (W,K) arc, m
+    valid_k = np.isfinite(rk)
 
-        # Floor/ceiling plane hits, valid only inside the room union.
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_floor = np.where(dz < -1e-6, (0.0 - o_z) / dz, np.inf)
-            t_ceil = np.where(dz > 1e-6, (ceil_h - o_z) / dz, np.inf)
+    # Portal rectangles per segment, padded to MAX_PORTALS_PER_SEG slots.
+    P = MAX_PORTALS_PER_SEG
+    p_s_lo = np.full((P, E), np.inf, np.float32)
+    p_s_hi = np.full((P, E), -np.inf, np.float32)
+    p_z_lo = np.full((P, E), np.inf, np.float32)
+    p_z_hi = np.full((P, E), -np.inf, np.float32)
+    for e in range(E):
+        for p, (s_lo, s_hi, z_lo, z_hi) in enumerate(world.portals[e][:P]):
+            p_s_lo[p, e], p_s_hi[p, e] = s_lo - 1e-6, s_hi + 1e-6
+            p_z_lo[p, e], p_z_hi[p, e] = z_lo - 1e-6, z_hi + 1e-6
+    # Column-level: does candidate k's arc position fall in portal slot p?
+    s_in = (sk[None] >= p_s_lo[:, seg_k]) & (sk[None] <= p_s_hi[:, seg_k])  # (P,W,K)
+    zlo_k = p_z_lo[:, seg_k]  # (P,W,K)
+    zhi_k = p_z_hi[:, seg_k]
 
-        def inside_union(tp):
-            finite = np.isfinite(tp)
-            pt = o[None, :] + np.where(finite, tp, 0.0)[:, None] * d_xy
-            inside = np.zeros(len(tp), bool)
-            for ring in world.rooms:
-                ra, rb = ring, np.roll(ring, -1, axis=0)
-                # even-odd crossing test, vectorized over ring edges
-                cond = (ra[None, :, 1] > pt[:, 1:2]) != (rb[None, :, 1] > pt[:, 1:2])
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    x_int = ra[None, :, 0] + (
-                        (pt[:, 1:2] - ra[None, :, 1])
-                        / (rb[None, :, 1] - ra[None, :, 1] + 1e-300)
-                    ) * (rb[None, :, 0] - ra[None, :, 0])
-                crossings = np.sum(cond & (x_int > pt[:, 0:1]), axis=1)
-                inside |= (crossings % 2).astype(bool)
-            return inside & finite
+    # --- Per-pixel walk of the K candidates. -----------------------------
+    rho = np.maximum(np.hypot(rays[..., 0], rays[..., 1]), 1e-9)  # (h,w)
+    m = rays[..., 2] / rho  # slope dz per unit horizontal distance
 
-        t_floor = np.where(inside_union(t_floor), t_floor, np.inf)
-        t_ceil = np.where(inside_union(t_ceil), t_ceil, np.inf)
+    z_k = o_z + rk[None, :, :] * m[..., None]  # (h,w,K)
+    in_band = (z_k >= -1e-6) & (z_k <= ceil_h + 1e-6)
+    in_portal = np.zeros(z_k.shape, bool)
+    for p in range(P):
+        in_portal |= s_in[p][None] & (z_k >= zlo_k[p][None]) & (z_k <= zhi_k[p][None])
+    blocking = valid_k[None] & in_band & ~in_portal  # (h,w,K)
 
-        d_blk = np.minimum(np.minimum(t_floor, t_ceil), t_wall)
-        surf = np.where(
-            d_blk == t_wall, WALL, np.where(d_blk == t_floor, FLOOR, CEILING)
-        ).astype(np.int8)
-        shape = (r1 - r0, w)
-        depth[r0:r1] = np.clip(d_blk, 0.0, 65.0).reshape(shape)
-        surface[r0:r1] = surf.reshape(shape)
-        wall_seg[r0:r1] = np.where(
-            surf == WALL, e_best.astype(np.int32), -1
-        ).reshape(shape)
-        wall_s[r0:r1] = np.where(surf == WALL, s_best, 0.0).reshape(shape)
+    first = np.argmax(blocking, axis=2)  # first True (0 if none)
+    any_blk = np.take_along_axis(blocking, first[..., None], axis=2)[..., 0]
+    cols = np.broadcast_to(np.arange(w), (h, w))
+    r_wall = np.where(any_blk, rk[cols, first], np.inf)
+    e_wall = seg_k[cols, first]
+    s_wall_m = sk[cols, first]
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r_floor = np.where(m < -1e-6, (0.0 - o_z) / m, np.inf)  # (h,w)
+        r_ceil = np.where(m > 1e-6, (ceil_h - o_z) / m, np.inf)
+
+    r_best = np.minimum(np.minimum(r_floor, r_ceil), r_wall)
+    surface = np.where(
+        r_best == r_wall, WALL, np.where(r_best == r_floor, FLOOR, CEILING)
+    ).astype(np.int8)
+    depth = np.clip(r_best / rho, 0.0, 65.0).astype(np.float32)
 
     hit_xyz = rays * depth[..., None]
     return {
-        "depth": depth.astype(np.float32),
+        "depth": depth,
         "surface": surface,
         "hit_xyz": hit_xyz.astype(np.float32),
-        "wall_seg": wall_seg,
-        "wall_s": wall_s.astype(np.float32),
+        "wall_seg": np.where(surface == WALL, e_wall.astype(np.int32), -1),
+        "wall_s": np.where(surface == WALL, s_wall_m, 0.0).astype(np.float32),
     }
 
 
