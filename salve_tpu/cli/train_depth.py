@@ -44,10 +44,16 @@ logger = logging.getLogger(__name__)
 )
 @click.option("--pano_h", type=int, default=512)
 @click.option("--pano_w", type=int, default=1024)
+@click.option(
+    "--depth_cache_root", type=click.Path(exists=True), default=None,
+    help="u16-mm depth cache dir: use cached multi-room world depth as GT "
+         "instead of the single-room layout raycast (pairs with materialized "
+         "synthetic datasets; implies reading pano JPEGs from disk).",
+)
 def run_train_depth(
     raw_dataset_dir, model_save_fpath, num_layers, batch_size, num_epochs,
     learning_rate, max_steps, synthetic_rgb, train_buildings, eval_buildings,
-    pano_h, pano_w,
+    pano_h, pano_w, depth_cache_root,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     hw = (pano_h, pano_w)
@@ -69,6 +75,7 @@ def run_train_depth(
             raw_dataset_dir, building_ids, batch_size, seed=epoch,
             synthetic_rgb=synthetic_rgb, hw=hw,
             cache_variants=3 if synthetic_rgb else 0,
+            depth_cache_root=depth_cache_root,
         ):
             state, loss = step(state, rgb, depth_gt, valid)
             n_steps += 1
@@ -96,6 +103,7 @@ def run_train_depth(
         metrics = depth_train.evaluate_depth(
             provider, raw_dataset_dir, sorted(eval_buildings.split(",")),
             synthetic_rgb=synthetic_rgb, hw=hw,
+            depth_cache_root=depth_cache_root,
         )
         metrics["train_steps"] = n_steps
         print(json.dumps({"depth_eval": metrics}))

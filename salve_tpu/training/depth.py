@@ -96,6 +96,7 @@ def load_depth_example(
     synthetic_rgb: bool = False,
     hw: Tuple[int, int] = (PANO_H, PANO_W),
     seed: int = 0,
+    depth_cache_root: str = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One (rgb f32, depth f32) supervision pair.
 
@@ -106,6 +107,11 @@ def load_depth_example(
     With synthetic_rgb=True the pano image is ray-cast from the same layout
     (rendering/synthetic.py) instead of read from disk — this is how the
     depth net trains/evaluates in environments without the ZInD imagery.
+
+    With depth_cache_root set, GT depth comes from the cached u16-mm PNG
+    (the multi-room world depth materialize_synthetic_building writes, which
+    sees through door portals) instead of the single-room layout raycast —
+    use this with materialized synthetic datasets.
     """
     from salve_tpu.models.depth_net import synthesize_depth_from_layout
     from salve_tpu.rendering.synthetic import render_synthetic_pano
@@ -122,6 +128,16 @@ def load_depth_example(
     from salve_tpu.rendering.bev_pair import load_pano_rgb
 
     rgb = load_pano_rgb(img_fpath)
+    if depth_cache_root is not None:
+        from salve_tpu.depth.cache import depth_fpath_for_pano
+
+        building_id = Path(img_fpath).parent.parent.name
+        depth_fpath = depth_fpath_for_pano(depth_cache_root, building_id, img_fpath)
+        if Path(depth_fpath).exists():
+            import imageio.v2 as imageio
+
+            depth_mm = np.asarray(imageio.imread(depth_fpath))
+            return rgb.astype(np.float32), depth_mm.astype(np.float32) / 1000.0
     # ZInD rooms: assume ceiling at ~2x camera height unless annotated.
     depth = synthesize_depth_from_layout(
         verts_m, camera_height_m=cam_h, ceiling_height_m=2 * cam_h, h=h, w=w
@@ -143,6 +159,7 @@ def iter_layout_depth_batches(
     synthetic_rgb: bool = False,
     hw: Tuple[int, int] = (PANO_H, PANO_W),
     cache_variants: int = 0,
+    depth_cache_root: str = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (rgb, depth_gt, valid) batches from ZInD panos + layout raycasts.
 
@@ -188,6 +205,7 @@ def iter_layout_depth_batches(
                 synthetic_rgb=synthetic_rgb,
                 hw=hw,
                 seed=(seed * 100003 + int(k)) & 0x7FFFFFFF,
+                depth_cache_root=depth_cache_root,
             )
         batch_rgb.append(rgb)
         batch_depth.append(depth)
@@ -207,6 +225,7 @@ def evaluate_depth(
     hw: Tuple[int, int] = (PANO_H, PANO_W),
     max_panos: int = None,
     seed: int = 999331,
+    depth_cache_root: str = None,
 ) -> dict:
     """Depth-error metrics over held-out panos.
 
@@ -223,7 +242,7 @@ def evaluate_depth(
     for k, (img_fpath, pano, cam_h) in enumerate(examples):
         rgb, gt = load_depth_example(
             img_fpath, pano, cam_h, synthetic_rgb=synthetic_rgb, hw=hw,
-            seed=(seed + k),
+            seed=(seed + k), depth_cache_root=depth_cache_root,
         )
         pred = np.asarray(predict_fn(rgb), dtype=np.float64)
         gt = gt.astype(np.float64)

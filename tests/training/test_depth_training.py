@@ -62,6 +62,32 @@ def test_evaluate_depth_oracle_is_zero_error(ref_test_data):
     assert metrics["delta1"] > 0.999
 
 
+def test_load_depth_example_uses_cached_world_depth(tmp_path, ref_test_data):
+    """depth_cache_root: GT comes from the u16-mm PNG (multi-room world
+    depth), not the single-room layout raycast."""
+    import imageio.v2 as imageio
+
+    examples = depth_train.collect_depth_examples(str(ref_test_data / "ZInD"), ["0000"])
+    img_fpath, pano, cam_h = examples[0]
+
+    # Materialize a fake pano JPG + a recognizable cached depth map.
+    from pathlib import Path
+
+    raw = tmp_path / "raw" / "0000" / "panos"
+    raw.mkdir(parents=True)
+    fake_img = str(raw / Path(img_fpath).name)
+    imageio.imwrite(fake_img, np.zeros((64, 128, 3), np.uint8))
+    cache = tmp_path / "depth" / "0000"
+    cache.mkdir(parents=True)
+    depth_mm = np.full((512, 1024), 3456, np.uint16)
+    imageio.imwrite(str(cache / f"{Path(img_fpath).stem}.depth.png"), depth_mm)
+
+    rgb, depth = depth_train.load_depth_example(
+        fake_img, pano, cam_h, depth_cache_root=str(tmp_path / "depth")
+    )
+    assert np.allclose(depth, 3.456)
+
+
 def test_evaluate_depth_constant_predictor_has_error(ref_test_data):
     metrics = depth_train.evaluate_depth(
         lambda rgb: np.full(rgb.shape[:2], 2.0, dtype=np.float32),
