@@ -53,11 +53,14 @@ logger = logging.getLogger(__name__)
               help="Generate N procedural buildings with val-split ids so "
                    "best-checkpoint selection uses a real held-out val mAcc.")
 @click.option("--photometric_augmentation", is_flag=True, default=False)
+@click.option("--append_pair_difference", is_flag=True, default=False,
+              help="Feed explicit per-pair difference channels to the "
+                   "verifier stem (from-scratch training aid).")
 def run_end_to_end_eval(
     src_zind_dir, output_dir, train_building, eval_building, num_layers,
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
     confidence_threshold, method, procedural_train_buildings,
-    procedural_val_buildings, photometric_augmentation,
+    procedural_val_buildings, photometric_augmentation, append_pair_difference,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     t_start = time.time()
@@ -157,6 +160,7 @@ def run_end_to_end_eval(
         # Fixture-scale data is ~1:8 imbalanced; plain CE collapses.
         class_balanced_loss=True,
         apply_photometric_augmentation=photometric_augmentation,
+        append_pair_difference=append_pair_difference,
     )
     t0 = time.time()
     results = train_loop.train(cfg)

@@ -53,6 +53,13 @@ class EarlyFusionCEResnet(nn.Module):
     num_classes: int = 2
     modalities: Tuple[str, ...] = ("ceiling_rgb_texture", "floor_rgb_texture")
     compute_dtype: Any = jnp.bfloat16
+    # Append explicit (img_{2k} - img_{2k+1}) channels per image pair before
+    # the stem. The verifier's decision is a comparison; giving the network
+    # the subtraction directly removes the hardest thing a from-scratch
+    # trunk must discover on its own. No reference analog (their trunk is
+    # ImageNet-pretrained); OFF by default — released-checkpoint conversion
+    # is only shape-compatible with the plain stem.
+    append_pair_difference: bool = False
 
     @nn.compact
     def __call__(self, images: Sequence[jnp.ndarray], train: bool = False):
@@ -61,6 +68,11 @@ class EarlyFusionCEResnet(nn.Module):
             raise ValueError(
                 f"Modalities {self.modalities} require {expected} images, got {len(images)}"
             )
+        images = list(images)
+        if self.append_pair_difference:
+            images += [
+                images[i] - images[i + 1] for i in range(0, len(images), 2)
+            ]
         x = jnp.concatenate(images, axis=-1)  # NHWC channel concat
         feats = ResNet(num_layers=self.num_layers, compute_dtype=self.compute_dtype)(
             x, train=train

@@ -49,6 +49,10 @@ class TrainingConfig:
     # TPU-specific additions (no reference analog).
     compute_dtype: str = "bfloat16"
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on one axis
+    # Append explicit per-pair difference channels before the fusion stem
+    # (models/early_fusion.py). Incompatible with converted reference
+    # checkpoints (plain-stem shapes); used by from-scratch training.
+    append_pair_difference: bool = False
 
 
 def load_training_config(yaml_fpath: str) -> TrainingConfig:

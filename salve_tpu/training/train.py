@@ -67,6 +67,7 @@ def build_model(cfg: TrainingConfig) -> EarlyFusionCEResnet:
         num_classes=cfg.num_ce_classes,
         modalities=tuple(cfg.modalities),
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        append_pair_difference=cfg.append_pair_difference,
     )
 
 

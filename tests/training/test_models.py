@@ -72,6 +72,26 @@ class TestEarlyFusion:
         stem = variables["params"]["ResNet_0"]["conv_init"]["kernel"]
         assert stem.shape == (7, 7, 12, 64)
 
+    def test_append_pair_difference_widens_stem(self) -> None:
+        """Difference channels: 4 images + 2 diffs -> 18-channel stem, and
+        the diff actually reaches the network (swapping one pair's images
+        flips the diff sign and changes the logits)."""
+        model = EarlyFusionCEResnet(
+            num_layers=18,
+            modalities=("ceiling_rgb_texture", "floor_rgb_texture"),
+            compute_dtype=jnp.float32,
+            append_pair_difference=True,
+        )
+        rng = jax.random.PRNGKey(0)
+        keys = jax.random.split(rng, 4)
+        imgs = [jax.random.normal(k, (1, 64, 64, 3)) for k in keys]
+        variables = model.init(jax.random.PRNGKey(1), imgs)
+        stem = variables["params"]["ResNet_0"]["conv_init"]["kernel"]
+        assert stem.shape == (7, 7, 18, 64)
+        l1 = model.apply(variables, imgs)
+        l2 = model.apply(variables, [imgs[1], imgs[0], imgs[2], imgs[3]])
+        assert not jnp.allclose(l1, l2)
+
     def test_wrong_arity_raises(self) -> None:
         model = EarlyFusionCEResnet(
             num_layers=18,
