@@ -52,6 +52,7 @@ def score_building_fused(
     mesh=None,
     start_batch_idx: int = 0,
     render_cfg=None,
+    use_warp_renders: bool = False,
 ) -> int:
     """Score every hypothesis of one building; write batch_{i}.json files.
 
@@ -141,6 +142,7 @@ def score_building_fused(
         results = score_floor_hypotheses(
             state, cfg, depths, rgbs, id2row, hyps,
             batch_size=batch_size, render_cfg=render_cfg, mesh=mesh,
+            use_warp_renders=use_warp_renders,
         )
         logger.info(
             "%s %s: scored %d hypotheses in %.1fs (%.1f hyp/s)",
@@ -182,10 +184,14 @@ def score_building_fused(
 @click.option("--batch_size", type=int, default=32)
 @click.option("--mesh_devices", type=int, default=0,
               help="Shard batches over an N-device mesh (0 = single device).")
+@click.option("--use_warp_renders", is_flag=True, default=False,
+              help="Render pano 1 per hypothesis as a Sim(2) NN warp of an "
+                   "extended identity bank (ops/warp.py) instead of a fresh "
+                   "splat; drift measured in tests/parity/test_warp_drift.py.")
 def run_test_fused(
     hypotheses_save_root, raw_dataset_dir, depth_save_root, ckpt_fpath,
     serialization_save_dir, building_id, num_layers, resize_px, crop_px,
-    batch_size, mesh_devices,
+    batch_size, mesh_devices, use_warp_renders,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     import jax
@@ -229,6 +235,7 @@ def run_test_fused(
             bid, hypotheses_save_root, raw_dataset_dir, depth_save_root,
             state, cfg, serialization_save_dir,
             batch_size=batch_size, mesh=mesh, start_batch_idx=total,
+            use_warp_renders=use_warp_renders,
         )
     logger.info("wrote %d batch files to %s", total, serialization_save_dir)
 

@@ -23,6 +23,7 @@ import numpy as np
 
 from salve_tpu.rendering.bev_pair import (
     BEVRenderConfig,
+    HOHO_S_ZIND_SCALE_FACTOR,
     render_identity_batched,
     render_transformed_batched,
 )
@@ -47,11 +48,22 @@ def _resize_imgs(imgs: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return jax.image.resize(imgs, (b, out_h, out_w, 3), method="linear")
 
 
-def _make_score_body(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig):
+def _make_score_body(
+    state,
+    cfg: TrainingConfig,
+    render_cfg: BEVRenderConfig,
+    use_warp_renders: bool = False,
+):
     """The unjitted fused (render -> preprocess -> verify) batch body.
 
     The verifier must use modalities (ceiling_rgb_texture, floor_rgb_texture)
     — the 4-image early-fusion configuration.
+
+    With use_warp_renders, the first two array arguments are the EXTENDED
+    identity banks (ops/warp.py) instead of the raw depth/rgb banks, and
+    pano 1's per-hypothesis render becomes one Sim(2) NN warp instead of a
+    backproject+splat+fill (drift measured in
+    tests/parity/test_warp_drift.py; A/B throughput in BENCH_NOTES.md).
     """
     if set(cfg.modalities) != {"ceiling_rgb_texture", "floor_rgb_texture"}:
         raise ValueError("Fused inference supports the ceiling+floor RGB verifier.")
@@ -60,15 +72,30 @@ def _make_score_body(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig):
         params, batch_stats, depths, rgbs, bank_ceil, bank_floor,
         i1_idx, i2_idx, rotations, translations,
     ):
-        d1, c1 = depths[i1_idx], rgbs[i1_idx]
+        if use_warp_renders:
+            # depths/rgbs hold the extended warp-source banks here.
+            from salve_tpu.ops.warp import warp_bank_sim2_nn
 
-        # Pano 1 depends on the hypothesis transform: render per hypothesis.
-        ceil1 = render_transformed_batched(
-            d1, c1, rotations, translations, (0.5, jnp.inf), render_cfg
-        )
-        floor1 = render_transformed_batched(
-            d1, c1, rotations, translations, (-jnp.inf, -1.0), render_cfg
-        )
+            t_scaled = translations * HOHO_S_ZIND_SCALE_FACTOR
+            ceil1 = warp_bank_sim2_nn(
+                depths[i1_idx], rotations, t_scaled,
+                render_cfg.img_px, render_cfg.meters_per_px,
+            )
+            floor1 = warp_bank_sim2_nn(
+                rgbs[i1_idx], rotations, t_scaled,
+                render_cfg.img_px, render_cfg.meters_per_px,
+            )
+        else:
+            d1, c1 = depths[i1_idx], rgbs[i1_idx]
+
+            # Pano 1 depends on the hypothesis transform: render per
+            # hypothesis.
+            ceil1 = render_transformed_batched(
+                d1, c1, rotations, translations, (0.5, jnp.inf), render_cfg
+            )
+            floor1 = render_transformed_batched(
+                d1, c1, rotations, translations, (-jnp.inf, -1.0), render_cfg
+            )
         # Pano 2 is rendered in its own frame — hypothesis-independent, so
         # it comes from the precomputed per-pano identity bank (rendered
         # once per floor instead of once per hypothesis).
@@ -94,9 +121,14 @@ def _make_score_body(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig):
     return score_batch
 
 
-def make_fused_score_fn(state, cfg: TrainingConfig, render_cfg: BEVRenderConfig):
+def make_fused_score_fn(
+    state,
+    cfg: TrainingConfig,
+    render_cfg: BEVRenderConfig,
+    use_warp_renders: bool = False,
+):
     """Single-device jitted fused scorer (see _make_score_body)."""
-    return jax.jit(_make_score_body(state, cfg, render_cfg))
+    return jax.jit(_make_score_body(state, cfg, render_cfg, use_warp_renders))
 
 
 def make_fused_score_fn_sharded(
@@ -105,6 +137,7 @@ def make_fused_score_fn_sharded(
     render_cfg: BEVRenderConfig,
     mesh,
     axis_name: str = "data",
+    use_warp_renders: bool = False,
 ):
     """Mesh-sharded fused scorer: hypotheses data-parallel over the chips.
 
@@ -117,7 +150,7 @@ def make_fused_score_fn_sharded(
     the reference's per-pair Pool fan-out, scripts/render_dataset_bev.py:186
     and SURVEY section 2.8, ridden over ICI instead of process forks).
     """
-    body = _make_score_body(state, cfg, render_cfg)
+    body = _make_score_body(state, cfg, render_cfg, use_warp_renders)
     rep = jax.sharding.PartitionSpec()
     dat = jax.sharding.PartitionSpec(axis_name)
     sharded = jax.shard_map(
@@ -140,6 +173,7 @@ def score_floor_hypotheses(
     batch_size: int = 32,
     render_cfg: BEVRenderConfig = BEVRenderConfig(),
     mesh=None,
+    use_warp_renders: bool = False,
 ) -> List[ScoredHypothesis]:
     """Score every (i1, i2, AlignmentHypothesis) of a floor on device.
 
@@ -151,6 +185,9 @@ def score_floor_hypotheses(
         batch_size: hypotheses per device batch (global across the mesh).
         mesh: optional jax.sharding.Mesh — shards each batch over its
             'data' axis (make_fused_score_fn_sharded); None = one device.
+        use_warp_renders: render pano 1 per hypothesis as a Sim(2) NN warp
+            of an extended identity bank (ops/warp.py) instead of a fresh
+            splat — per-floor fixed cost up, per-hypothesis cost way down.
     """
     from salve_tpu.utils import profiler
 
@@ -161,9 +198,13 @@ def score_floor_hypotheses(
             raise ValueError(
                 f"batch_size {batch_size} not divisible by mesh size {mesh.size}"
             )
-        score_batch = make_fused_score_fn_sharded(state, cfg, render_cfg, mesh)
+        score_batch = make_fused_score_fn_sharded(
+            state, cfg, render_cfg, mesh, use_warp_renders=use_warp_renders
+        )
     else:
-        score_batch = make_fused_score_fn(state, cfg, render_cfg)
+        score_batch = make_fused_score_fn(
+            state, cfg, render_cfg, use_warp_renders=use_warp_renders
+        )
     depths_d = jnp.asarray(depths)
     rgbs_d = jnp.asarray(rgbs)
 
@@ -172,6 +213,22 @@ def score_floor_hypotheses(
     with profiler.stage_timer("fused/identity_bank"):
         bank_ceil = render_identity_batched(depths_d, rgbs_d, (0.5, jnp.inf), render_cfg)
         bank_floor = render_identity_batched(depths_d, rgbs_d, (-jnp.inf, -1.0), render_cfg)
+
+    if use_warp_renders:
+        from salve_tpu.ops.warp import render_identity_bank_extended
+
+        # Extended warp-source banks replace the raw depth/rgb banks in the
+        # score body's first two slots (same arity, so the sharded in_specs
+        # are unchanged).
+        with profiler.stage_timer("fused/warp_bank"):
+            bank_px = 2 * render_cfg.img_px  # double the target extent
+            ext_ceil = render_identity_bank_extended(
+                depths_d, rgbs_d, (0.5, jnp.inf), render_cfg, bank_px=bank_px
+            )
+            ext_floor = render_identity_bank_extended(
+                depths_d, rgbs_d, (-jnp.inf, -1.0), render_cfg, bank_px=bank_px
+            )
+            depths_d, rgbs_d = ext_ceil, ext_floor
 
     results: List[ScoredHypothesis] = []
     for start in range(0, len(hypotheses), batch_size):

@@ -106,6 +106,63 @@ class TestFusedInference:
                 batch_size=6, render_cfg=render_cfg, mesh=mesh,
             )
 
+    def test_warp_renders_smoke_and_shape(self, tiny_setup) -> None:
+        """The Sim(2)-warp render path (ops/warp.py) scores hypotheses
+        end-to-end with the same output schema as the direct path."""
+        cfg, state, render_cfg, depths, rgbs = tiny_setup
+        hyps = [
+            (3, 5, _hyp(0.0, 0.0, 0.0)),
+            (3, 5, _hyp(30.0, 0.8, -0.4)),
+        ]
+        results = score_floor_hypotheses(
+            state, cfg, depths, rgbs, {3: 0, 5: 1}, hyps,
+            batch_size=2, render_cfg=render_cfg, use_warp_renders=True,
+        )
+        assert len(results) == 2
+        for r in results:
+            assert r.y_hat in (0, 1)
+            assert 0.0 <= r.prob <= 1.0
+
+    def test_warp_identity_hypothesis_matches_direct(self, tiny_setup) -> None:
+        """At the identity hypothesis the warp is a bit-exact crop of the
+        extended identity render, and that render comes from the SAME
+        production path as the direct render — so the verifier scores must
+        agree to float tolerance."""
+        cfg, state, render_cfg, depths, rgbs = tiny_setup
+        hyps = [(3, 5, _hyp(0.0, 0.0, 0.0))]
+        direct = score_floor_hypotheses(
+            state, cfg, depths, rgbs, {3: 0, 5: 1}, hyps, 2, render_cfg
+        )
+        warped = score_floor_hypotheses(
+            state, cfg, depths, rgbs, {3: 0, 5: 1}, hyps, 2, render_cfg,
+            use_warp_renders=True,
+        )
+        assert direct[0].y_hat == warped[0].y_hat
+        np.testing.assert_allclose(direct[0].prob, warped[0].prob, rtol=1e-4)
+
+    def test_warp_mesh_sharded_matches_single_device(self, tiny_setup) -> None:
+        from salve_tpu.parallel.mesh import make_mesh
+
+        cfg, state, render_cfg, depths, rgbs = tiny_setup
+        hyps = [
+            (3, 5, _hyp(20.0 * k, 0.15 * k - 0.5, 0.1 * k)) for k in range(8)
+        ]
+        base = score_floor_hypotheses(
+            state, cfg, depths, rgbs, {3: 0, 5: 1}, hyps,
+            batch_size=8, render_cfg=render_cfg, use_warp_renders=True,
+        )
+        mesh = make_mesh((8,))
+        with mesh:
+            sharded = score_floor_hypotheses(
+                state, cfg, depths, rgbs, {3: 0, 5: 1}, hyps,
+                batch_size=8, render_cfg=render_cfg, mesh=mesh,
+                use_warp_renders=True,
+            )
+        assert [r.y_hat for r in sharded] == [r.y_hat for r in base]
+        np.testing.assert_allclose(
+            [r.prob for r in sharded], [r.prob for r in base], rtol=1e-5
+        )
+
     def test_rejects_wrong_modalities(self, tiny_setup) -> None:
         _, state, render_cfg, _, _ = tiny_setup
         from salve_tpu.pipeline.fused_inference import make_fused_score_fn
