@@ -206,3 +206,31 @@ except Exception as e:
 # Correctness of the packed-rgb888 production path is asserted in
 # tests/ops/test_bev.py::test_splat_quantize_u8_same_winners_exact_u8_colors
 # (identical winners; bit-exact u8 colors for u8-derived inputs).
+
+
+# Variant (e): Pallas VMEM-resident scalar-RMW splat (ops/pallas_splat.py)
+# — priority grid only; A/B against scatter_only (the same sub-problem).
+from salve_tpu.ops.pallas_splat import splat_priority_grid_pallas
+
+
+@jax.jit
+def pallas_priority_only(xy, z, valid):
+    b, n = z.shape
+    xx, yy = xy[..., 0], xy[..., 1]
+    z_bin = jnp.floor((z - bev_ops.ZMIN) / (bev_ops.ZMAX - bev_ops.ZMIN) * bev_ops.NUM_Z_SLICES).astype(jnp.int32)
+    ok = valid & (z >= bev_ops.ZMIN) & (z < bev_ops.ZMAX)
+    key = (z_bin * n + jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)).astype(jnp.int32)
+    cell = (yy * W + xx).astype(jnp.int32)
+    grid = splat_priority_grid_pallas(cell, key, ok, H, W)
+    return jnp.sum(grid)
+
+
+try:
+    # correctness vs the XLA scatter first (on whatever backend runs this)
+    t_pallas = timeit(pallas_priority_only, xy_d, z_d, valid_d)
+    ref = scatter_only(xy_d, z_d, rgb_d, valid_d)
+    got = pallas_priority_only(xy_d, z_d, valid_d)
+    print(f"pallas VMEM splat (priority grid only): {t_pallas*1000:.1f} ms "
+          f"[checksum {'MATCH' if int(ref) == int(got) else 'MISMATCH: %d vs %d' % (int(ref), int(got))}]")
+except Exception as e:
+    print("pallas VMEM splat failed:", type(e).__name__, str(e)[:300])

@@ -406,7 +406,13 @@ def render_bev_images_batched(
         # restrict the dilation fill the same way (drift measured in
         # tests/parity/test_interpolation_drift.py).
         hull = convex_hull_mask(occupied)
-        if _use_pallas_fill():
+        # The Pallas fill keeps ~10 padded f32 planes per program in VMEM
+        # (5 block operands, double-buffered); grids past ~500k px exceed
+        # the 16 MB budget (the 1001px warp banks, ops/warp.py, OOM'd), so
+        # large grids take the XLA conv path.
+        hp, wp = -(-img_h // 8) * 8, -(-img_w // 128) * 128
+        fits_vmem = hp * wp * 4 * 10 <= 14 * 1024 * 1024
+        if _use_pallas_fill() and fits_vmem:
             # VMEM-resident fused fill+mask kernel: 6.3x the XLA conv path
             # on TPU, bit-identical output. Any batch size: the batch rides
             # the kernel grid up to 32 and lax.map chunks beyond (the former

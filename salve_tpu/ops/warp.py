@@ -52,6 +52,12 @@ from salve_tpu.ops import bev as bev_ops
 DEFAULT_WARP_BANK_PX = 1000
 
 
+def pack_rgb888(imgs_u8: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) uint8 -> (...) int32 packed 0xRRGGBB (bank storage format)."""
+    x = imgs_u8.astype(jnp.int32)
+    return (x[..., 0] << 16) | (x[..., 1] << 8) | x[..., 2]
+
+
 @functools.partial(
     jax.jit, static_argnames=("dst_img_px", "meters_per_px")
 )
@@ -65,10 +71,12 @@ def warp_bank_sim2_nn(
     """Nearest-neighbor Sim(2) warp of banked identity renders.
 
     Args:
-        bank: (B, Hs, Ws, 3) uint8 identity renders of pano 1, one per
-            hypothesis (callers gather the per-pano bank by hypothesis i1
-            index), stored in the production orientation (vertically
-            flipped, ops/bev.py render output).
+        bank: identity renders of pano 1, one per hypothesis (callers
+            gather the per-pano bank by hypothesis i1 index), stored in
+            the production orientation (vertically flipped, ops/bev.py
+            render output). Either (B, Hs, Ws, 3) uint8, or (B, Hs, Ws)
+            int32 packed rgb888 (pack_rgb888) — pre-packed banks skip the
+            per-batch packing work.
         i2Ri1: (B, 2, 2) relative rotation (target world <- source world).
         i2ti1_scaled: (B, 2) relative translation in target world meters —
             ALREADY carrying the 1.5 HoHoNet scale, exactly the value added
@@ -81,7 +89,16 @@ def warp_bank_sim2_nn(
         pano 1 in pano 2's frame; 0 (empty) where the source bank has no
         content or the sample falls outside the bank.
     """
-    b, src_h, src_w, _ = bank.shape
+    if bank.ndim == 4:
+        bank_i32 = bank.astype(jnp.int32)
+        packed = (
+            (bank_i32[..., 0] << 16)
+            | (bank_i32[..., 1] << 8)
+            | bank_i32[..., 2]
+        )
+    else:
+        packed = bank
+    b, src_h, src_w = packed.shape
     dst_h = dst_w = dst_img_px + 1
     half_dst = int((dst_img_px / 2) * meters_per_px)
     half_src = int(((src_h - 1) / 2) * meters_per_px)
@@ -108,12 +125,10 @@ def warp_bank_sim2_nn(
 
     # One packed-rgb888 gather (the 3-channel u8 gather costs 3x; parity
     # with the splat's packed winner gather, ops/bev.py).
-    bank_i32 = bank.astype(jnp.int32)
-    packed = (
-        (bank_i32[..., 0] << 16) | (bank_i32[..., 1] << 8) | bank_i32[..., 2]
-    ).reshape(b, src_h * src_w)
     flat = jnp.where(inb, qy_stored * src_w + qx, 0).reshape(b, -1)
-    got = jnp.take_along_axis(packed, flat, axis=1).reshape(b, dst_h, dst_w)
+    got = jnp.take_along_axis(
+        packed.reshape(b, src_h * src_w), flat, axis=1
+    ).reshape(b, dst_h, dst_w)
     got = jnp.where(inb, got, 0)
 
     out = jnp.stack(

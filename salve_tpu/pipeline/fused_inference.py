@@ -215,18 +215,24 @@ def score_floor_hypotheses(
         bank_floor = render_identity_batched(depths_d, rgbs_d, (-jnp.inf, -1.0), render_cfg)
 
     if use_warp_renders:
-        from salve_tpu.ops.warp import render_identity_bank_extended
+        from salve_tpu.ops.warp import pack_rgb888, render_identity_bank_extended
 
-        # Extended warp-source banks replace the raw depth/rgb banks in the
-        # score body's first two slots (same arity, so the sharded in_specs
-        # are unchanged).
+        # Extended warp-source banks (packed rgb888 i32: one gather per
+        # cell, no per-batch packing) replace the raw depth/rgb banks in
+        # the score body's first two slots (same arity, so the sharded
+        # in_specs are unchanged).
         with profiler.stage_timer("fused/warp_bank"):
             bank_px = 2 * render_cfg.img_px  # double the target extent
-            ext_ceil = render_identity_bank_extended(
-                depths_d, rgbs_d, (0.5, jnp.inf), render_cfg, bank_px=bank_px
+            ext_ceil = pack_rgb888(
+                render_identity_bank_extended(
+                    depths_d, rgbs_d, (0.5, jnp.inf), render_cfg, bank_px=bank_px
+                )
             )
-            ext_floor = render_identity_bank_extended(
-                depths_d, rgbs_d, (-jnp.inf, -1.0), render_cfg, bank_px=bank_px
+            ext_floor = pack_rgb888(
+                render_identity_bank_extended(
+                    depths_d, rgbs_d, (-jnp.inf, -1.0), render_cfg,
+                    bank_px=bank_px,
+                )
             )
             depths_d, rgbs_d = ext_ceil, ext_floor
 
