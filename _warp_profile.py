@@ -102,3 +102,15 @@ t_warp = timeit(warped, bank_b, R_d, t_d)
 print(f"direct render:      {t_direct*1000:.1f} ms/batch{B} ({t_direct/B*1000:.2f} ms/img)")
 print(f"warp render:        {t_warp*1000:.1f} ms/batch{B} ({t_warp/B*1000:.2f} ms/img)  [{t_direct/t_warp:.2f}x]")
 print(f"ext bank build:     {t_bank*1000:.1f} ms/pano/surface (per-floor amortized)")
+
+
+@jax.jit
+def warped_shear(bank_in, Rb, tb):
+    imgs = warp_ops.warp_bank_sim2_shear(
+        bank_in, Rb, tb * bev_pair.HOHO_S_ZIND_SCALE_FACTOR
+    )
+    return jnp.sum(imgs.astype(jnp.float32))
+
+
+t_shear = timeit(warped_shear, bank_b, R_d, t_d)
+print(f"shear warp render:  {t_shear*1000:.1f} ms/batch{B} ({t_shear/B*1000:.2f} ms/img)  [{t_direct/t_shear:.2f}x vs direct]")

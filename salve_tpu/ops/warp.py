@@ -42,6 +42,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from salve_tpu.ops import bev as bev_ops
 
@@ -163,3 +164,176 @@ def render_identity_bank_extended(
         xyz, c, v, bank_px, cfg.meters_per_px, cfg.is_semantics,
         dedup_stride=depths.shape[2],
     )
+
+
+# ---------------------------------------------------------------------------
+# Shear-decomposition NN warp: coherent row slices instead of a random gather.
+# ---------------------------------------------------------------------------
+
+_TAN22 = 0.4142135623730951  # tan(pi/8): max |shear a| after 90-deg reduction
+_SIN45 = 0.7071067811865476  # sin(pi/4): max |shear s|
+
+
+def _row_slice_pass(img: jnp.ndarray, starts: jnp.ndarray, span: int) -> jnp.ndarray:
+    """out[..., r, :span] = img[..., r, starts[..., r] : starts[..., r]+span].
+
+    The workhorse of the shear warp: one contiguous lane window per row —
+    XLA lowers the vmapped dynamic_slice to a gather of (1, span) slices,
+    which is coherent (row-sized transfers) unlike the per-cell gather of
+    warp_bank_sim2_nn.
+
+    Zero semantics: logical reads outside [0, W) yield 0. Padding each row
+    by `span` zeros on both sides makes the clamp exact: any start clamped
+    to -span (fully left of content) or W (fully right) lands entirely in
+    the zero margin, and partial windows overlap the margin correctly.
+    """
+    w = img.shape[-1]
+    pad = [(0, 0)] * (img.ndim - 1) + [(span, span)]
+    padded = jnp.pad(img, pad)
+    starts_c = jnp.clip(starts, -span, w) + span
+
+    def one_row(row, s0):
+        return jax.lax.dynamic_slice_in_dim(row, s0, span, axis=0)
+
+    f = one_row
+    for _ in range(img.ndim - 1):
+        f = jax.vmap(f)
+    return f(padded, starts_c)
+
+
+def _shear_params(i2Ri1, i2ti1_scaled, src_half_m, dst_half_m, meters_per_px):
+    """Per-image (n, a, s, b2) of the 90-deg-reduced 3-shear factorization.
+
+    Pixel-domain inverse map: q = A p + b, A = R^T (target px -> source px,
+    both pre-flip). Reduce A = rot(phi) . Q^n (Q = rot90, n in 0..3,
+    phi in [-45, 45]) about the target center c, then factor
+    rot(phi) = Shx(a) . Shy(s) . Shx(a) with a = -tan(phi/2), s = sin(phi).
+    """
+    m = meters_per_px
+    A = jnp.swapaxes(i2Ri1, -1, -2)  # R^T
+    tx, ty = i2ti1_scaled[..., 0], i2ti1_scaled[..., 1]
+    b0 = (src_half_m - (A[..., 0, 0] * (dst_half_m + tx) + A[..., 0, 1] * (dst_half_m + ty))) / m
+    b1 = (src_half_m - (A[..., 1, 0] * (dst_half_m + tx) + A[..., 1, 1] * (dst_half_m + ty))) / m
+    psi = jnp.arctan2(A[..., 1, 0], A[..., 0, 0])
+    n = jnp.round(psi / (jnp.pi / 2)).astype(jnp.int32) % 4
+    phi = psi - jnp.round(psi / (jnp.pi / 2)) * (jnp.pi / 2)
+    a = -jnp.tan(phi / 2)
+    s = jnp.sin(phi)
+    return n, a, s, phi, jnp.stack([b0, b1], axis=-1)
+
+
+def _q_center_correction(n, phi, c):
+    """b2 term from rotating the target grid about its center.
+
+    out[p] = T1[Q(p - c) + c] factors A = rot(phi) . Q about the center
+    c = (D-1)/2, which shifts the sampling offset by
+    rot(phi) (Q c_vec - c_vec), c_vec = (c, c).
+    """
+    table = jnp.array(
+        [[0.0, 0.0], [-2.0, 0.0], [-2.0, -2.0], [0.0, -2.0]], jnp.float32
+    ) * c  # (4, 2): Q^n c_vec - c_vec
+    qc = table[n]  # (B, 2)
+    cos, sin = jnp.cos(phi), jnp.sin(phi)
+    return jnp.stack(
+        [cos * qc[..., 0] - sin * qc[..., 1],
+         sin * qc[..., 0] + cos * qc[..., 1]],
+        axis=-1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dst_img_px", "meters_per_px"))
+def warp_bank_sim2_shear(
+    bank: jnp.ndarray,
+    i2Ri1: jnp.ndarray,
+    i2ti1_scaled: jnp.ndarray,
+    dst_img_px: int = bev_ops.DEFAULT_BEV_IMG_PX,
+    meters_per_px: float = bev_ops.DEFAULT_METERS_PER_PX,
+) -> jnp.ndarray:
+    """3-shear NN Sim(2) warp: same contract as warp_bank_sim2_nn.
+
+    Replaces the per-cell random gather with three row-coherent slice
+    passes (x-shear, transposed y-shear, x-shear) plus an exact rot90 — the
+    classic Paeth factorization, NN-rounded per pass. Positional error vs
+    the one-rounding exact NN warp is <= ~1.5 px (drift measured in
+    tests/parity/test_warp_drift.py); axis-aligned motions on the grid stay
+    exact.
+
+    Accepts packed (B, Hs, Ws) int32 banks only (pack_rgb888).
+    """
+    assert bank.ndim == 3, "shear warp expects packed rgb888 banks"
+    b, src_h, src_w = bank.shape
+    d = dst_img_px + 1
+    half_dst = int((dst_img_px / 2) * meters_per_px)
+    half_src = int(((src_h - 1) / 2) * meters_per_px)
+
+    # Static intermediate extents (worst case over phi in [-45, 45]).
+    x3 = d + int(np.ceil(_TAN22 * (d - 1)))  # pass-3 lane extent
+    y2 = d + int(np.ceil(_SIN45 * (x3 - 1)))  # pass-2 row extent
+
+    n, a, s, phi, b2 = _shear_params(
+        i2Ri1, i2ti1_scaled, half_src, half_dst, meters_per_px
+    )
+    b2 = b2 + _q_center_correction(n, phi, (d - 1) / 2.0)
+
+    # Array origins: logical x3 = x3_arr + O3, logical y2 = y2_arr + O2.
+    o3 = jnp.minimum(0, jnp.round(a * (d - 1))).astype(jnp.int32)  # (B,)
+    x3_log = jnp.arange(x3, dtype=jnp.float32)[None, :] + o3[:, None]  # (B, x3)
+    r2 = jnp.round(s[:, None] * x3_log).astype(jnp.int32)  # (B, x3)
+    o2 = jnp.minimum(0, jnp.min(r2, axis=1))  # (B,)
+
+    srcp = bank[:, ::-1]  # stored -> pre-flip rows
+
+    # Pass 1: I1[y2_arr, x3_arr] = srcp[y2_log + round(b2y), x3_log + round(a*y2_log + b2x)]
+    y2_log = jnp.arange(y2, dtype=jnp.float32)[None, :] + o2[:, None]  # (B, y2)
+    row_src = (y2_log + jnp.round(b2[:, 1:2])).astype(jnp.int32)  # (B, y2)
+    # row selection: per-row dynamic row index -> use _row_slice_pass on the
+    # TRANSPOSED source is wasteful; rows are a contiguous block here
+    # (row_src = y2_arr + const), so slice rows once with the same
+    # clamp-into-zeros trick done via masking.
+    row0 = row_src[:, 0]  # (B,) first source row
+    row_ok = (row_src >= 0) & (row_src < src_h)  # (B, y2)
+    rows = _row_slice_pass(
+        jnp.swapaxes(srcp, 1, 2), jnp.broadcast_to(row0[:, None], (b, src_w)), y2
+    )  # (B, src_w, y2): lanes=rows after swap
+    rows = jnp.swapaxes(rows, 1, 2)  # (B, y2, src_w)
+    rows = jnp.where(row_ok[:, :, None], rows, 0)
+    starts1 = (o3[:, None] + jnp.round(a[:, None] * y2_log + b2[:, 0:1])).astype(jnp.int32)
+    i1 = _row_slice_pass(rows, starts1, x3)  # (B, y2, x3)
+
+    # Pass 2 (transposed): I2T[x3_arr, v] = I1T[x3_arr, v + r2 - o2]
+    i1t = jnp.swapaxes(i1, 1, 2)  # (B, x3, y2)
+    starts2 = r2 - o2[:, None]  # (B, x3)
+    i2t = _row_slice_pass(i1t, starts2, d)  # (B, x3, d)
+    i2 = jnp.swapaxes(i2t, 1, 2)  # (B, d, x3)
+
+    # Pass 3: T1[v, u] = I2[v, u + round(a*v) - O3]
+    v_idx = jnp.arange(d, dtype=jnp.float32)[None, :]
+    starts3 = (jnp.round(a[:, None] * v_idx) - o3[:, None]).astype(jnp.int32)
+    t1 = _row_slice_pass(i2, starts3, d)  # (B, d, d)
+
+    # Final 90-deg grid permutation: out_preflip[v, u] = T1[P p].
+    def rot_n0(x):
+        return x
+
+    def rot_n1(x):
+        return jnp.swapaxes(x[:, :, ::-1], 1, 2)
+
+    def rot_n2(x):
+        return x[:, ::-1, ::-1]
+
+    def rot_n3(x):
+        return jnp.swapaxes(x[:, ::-1, :], 1, 2)
+
+    # n is per-image; group by switch over the batch is data-dependent —
+    # evaluate all four permutations and select per image (3 extra cheap
+    # flips of a (d, d) i32 plane).
+    variants = jnp.stack([rot_n0(t1), rot_n1(t1), rot_n2(t1), rot_n3(t1)], 1)
+    outp = jnp.take_along_axis(
+        variants, n[:, None, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+
+    out_stored = outp[:, ::-1]  # pre-flip -> stored orientation
+    got = out_stored
+    return jnp.stack(
+        [(got >> 16) & 0xFF, (got >> 8) & 0xFF, got & 0xFF], axis=-1
+    ).astype(jnp.uint8)

@@ -84,6 +84,72 @@ def test_translation_warp_is_shifted_crop(fixture_pano):
     np.testing.assert_array_equal(out, crop)
 
 
+def test_shear_warp_axis_aligned_exact(fixture_pano):
+    """90-deg multiples + grid-aligned translations: shear == gather warp,
+    bit for bit (both reduce to pure index permutations)."""
+    depth, rgb = fixture_pano
+    bank = _identity_bank(depth, rgb, (-np.inf, -1.0), warp_ops.DEFAULT_WARP_BANK_PX)
+    packed = warp_ops.pack_rgb888(jnp.asarray(bank)[None])
+    for theta_deg, t in [(0.0, (0.0, 0.0)), (90.0, (0.5, -0.3)),
+                         (180.0, (1.0, 1.0)), (270.0, (-0.74, 0.42))]:
+        th = np.deg2rad(theta_deg)
+        R = np.array(
+            [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32
+        )
+        tt = np.asarray(t, np.float32)
+        nn = np.asarray(
+            warp_ops.warp_bank_sim2_nn(packed, jnp.asarray(R)[None], jnp.asarray(tt)[None])
+        )
+        sh = np.asarray(
+            warp_ops.warp_bank_sim2_shear(packed, jnp.asarray(R)[None], jnp.asarray(tt)[None])
+        )
+        np.testing.assert_array_equal(nn, sh)
+
+
+def test_shear_warp_drift_vs_direct_render(fixture_pano):
+    """Shear warp vs the direct production render: one extra +-1.5 px of
+    rounding on top of the gather warp's drift. Recorded for BENCH_NOTES."""
+    depth, rgb = fixture_pano
+    theta = np.deg2rad(31.0)
+    R = np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]],
+        dtype=np.float32,
+    )
+    t_unscaled = np.array([1.7, -0.9], dtype=np.float32)
+    z_range = (-np.inf, -1.0)
+    direct = np.asarray(
+        bev_pair.render_transformed_batched(
+            jnp.asarray(depth)[None], jnp.asarray(rgb)[None],
+            jnp.asarray(R)[None], jnp.asarray(t_unscaled)[None],
+            z_range, CFG,
+        )
+    )[0]
+    bank = _identity_bank(depth, rgb, z_range, warp_ops.DEFAULT_WARP_BANK_PX)
+    packed = warp_ops.pack_rgb888(jnp.asarray(bank)[None])
+    warped = np.asarray(
+        warp_ops.warp_bank_sim2_shear(
+            packed,
+            jnp.asarray(R)[None],
+            jnp.asarray(t_unscaled * bev_pair.HOHO_S_ZIND_SCALE_FACTOR)[None],
+        )
+    )[0]
+    occ_d, occ_w = direct.any(axis=-1), warped.any(axis=-1)
+    agree = (occ_d == occ_w).mean()
+    joint = occ_d & occ_w
+    diff = np.abs(
+        direct.astype(np.float32) - warped.astype(np.float32)
+    ).mean(axis=-1)[joint]
+    stats = {
+        "coverage_agreement": float(agree),
+        "mean_abs_diff": float(diff.mean()),
+        "p99_abs_diff": float(np.percentile(diff, 99)),
+        "frac_gt_10": float((diff > 10).mean()),
+    }
+    print("shear warp drift vs direct:", stats)
+    assert agree > 0.93
+    assert diff.mean() < 15.0
+
+
 def test_general_motion_drift_vs_direct_render(fixture_pano):
     """General rigid motion: measure warp-vs-direct drift, assert sane bounds.
 
