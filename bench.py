@@ -193,12 +193,16 @@ def bench_verifier(batch_size: int = 256, reps: int = 8) -> float:
     return batch_size / dt
 
 
-def bench_fused_render_verify(batch_size: int = 32, reps: int = 6) -> float:
+def bench_fused_render_verify(
+    batch_size: int = 32, reps: int = 6, use_warp: bool = False
+) -> float:
     """Fused render->preprocess->verify hypotheses/sec (ResNet-152).
 
     The production Stage B+C fusion (pipeline/fused_inference.py): pano 1
-    rendered per hypothesis, pano 2 from the identity bank, scored without a
-    JPG round trip. Chained through a scalar to amortize tunnel latency.
+    rendered per hypothesis (use_warp: as a Pallas Sim(2) shear warp of the
+    packed extended identity bank, ops/warp.py), pano 2 from the identity
+    bank, scored without a JPG round trip. Chained through a scalar to
+    amortize tunnel latency.
     """
     import jax
     import jax.numpy as jnp
@@ -211,12 +215,21 @@ def bench_fused_render_verify(batch_size: int = 32, reps: int = 6) -> float:
     cfg = TrainingConfig(num_layers=152, batch_size=batch_size)
     render_cfg = BEVRenderConfig()
     state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=1)
-    score = make_fused_score_fn(state, cfg, render_cfg)
+    score = make_fused_score_fn(state, cfg, render_cfg, use_warp_renders=use_warp)
 
     depths, rgbs = make_synthetic_pano_bank(num_panos=4)
     depths_d, rgbs_d = jnp.asarray(depths), jnp.asarray(rgbs)
     bank_ceil = render_identity_batched(depths_d, rgbs_d, (0.5, np.inf), render_cfg)
     bank_floor = render_identity_batched(depths_d, rgbs_d, (-np.inf, -1.0), render_cfg)
+    if use_warp:
+        from salve_tpu.ops.warp import pack_rgb888, render_identity_bank_extended
+
+        bank_px = 2 * render_cfg.img_px
+        depths_d = pack_rgb888(render_identity_bank_extended(
+            depths_d, rgbs_d, (0.5, np.inf), render_cfg, bank_px=bank_px))
+        rgbs_d = pack_rgb888(render_identity_bank_extended(
+            jnp.asarray(depths), jnp.asarray(rgbs), (-np.inf, -1.0),
+            render_cfg, bank_px=bank_px))
 
     rng = np.random.default_rng(2)
     i1 = jnp.asarray(rng.integers(0, 4, batch_size))
@@ -264,6 +277,7 @@ def main() -> None:
     ref_pairs_per_sec = bench_reference_host(depths, rgbs)
     verifier_pairs_per_sec = bench_verifier()
     fused_hyp_per_sec = bench_fused_render_verify()
+    fused_warp_hyp_per_sec = bench_fused_render_verify(use_warp=True)
     print(
         json.dumps(
             {
@@ -277,6 +291,9 @@ def main() -> None:
                     ),
                     "fused_render_verify_hyp_per_sec_rn152": round(
                         fused_hyp_per_sec, 1
+                    ),
+                    "fused_render_verify_warp_hyp_per_sec_rn152": round(
+                        fused_warp_hyp_per_sec, 1
                     ),
                     "host_reference_render_pairs_per_sec": round(
                         ref_pairs_per_sec, 3

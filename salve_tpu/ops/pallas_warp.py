@@ -44,13 +44,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length()
+
+
 def _dims(d: int, s: int):
-    """Static pass extents for a (S,S) source and (D,D) target."""
+    """Static pass extents for a (S,S) source and (D,D) target.
+
+    Lane counts of every buffer whose rows get DYNAMICALLY rolled are
+    forced to powers of two: Mosaic's dynamic lane-rotate silently
+    produces wrong data at non-power-of-two widths (measured: 768 and 896
+    corrupt, 1024 exact — the bug that originally broke pass 3).
+    """
     x3 = d + int(np.ceil(_TAN22 * (d - 1)))
     y2 = d + int(np.ceil(_SIN45 * (x3 - 1)))
-    lanes_a = _round_up(max(s, y2), 128)  # A cols: src stage + I1T rows
+    lanes_a = _next_pow2(_round_up(max(s, y2), 128))  # A cols (rolled)
     rows_a = _round_up(max(s, x3, y2), 128)
-    lanes_b = _round_up(x3, 128)
+    lanes_b = _next_pow2(_round_up(x3, 128))  # B cols / C cols (rolled)
     d_pad = _round_up(d, 128)
     return x3, y2, rows_a, lanes_a, lanes_b, d_pad
 
@@ -136,20 +146,31 @@ def _warp_kernel_factory(d, s, x3, y2, rows_a, lanes_a, lanes_b, d_pad):
         jax.lax.fori_loop(0, (lanes_b // tile) * (d_pad // tile), t2, 0)
 
         # Pass 3: T1[v, :d] = I2 row sliced at s3 (in range, no wrap).
+        # In-place within C: each iteration reads its own full row, rolls,
+        # and rewrites the row's first d_pad lanes — no cross-row or
+        # cross-buffer aliasing (a sliced roll written straight into the
+        # narrower out block miscompiled on current Mosaic; verified by
+        # stage bisection).
         def p3(v, _):
             start = s3_ref[0, 0, v]
             row = c_ref[pl.ds(v, 1), :]
             rolled = pltpu.roll(row, -start, 1)
-            out_ref[0, pl.ds(v, 1), :] = rolled[:, :d_pad]
+            c_ref[pl.ds(v, 1), :d_pad] = rolled[:, :d_pad]
             return _
 
         jax.lax.fori_loop(0, d, p3, 0)
 
         def pz3(v, _):
-            out_ref[0, pl.ds(v, 1), :] = jnp.zeros((1, d_pad), jnp.int32)
+            c_ref[pl.ds(v, 1), :d_pad] = jnp.zeros((1, d_pad), jnp.int32)
             return _
 
         jax.lax.fori_loop(d, d_pad, pz3, 0)
+
+        def cp_out(v, _):
+            out_ref[0, pl.ds(v, 1), :] = c_ref[pl.ds(v, 1), :d_pad]
+            return _
+
+        jax.lax.fori_loop(0, d_pad, cp_out, 0)
 
     return kernel
 

@@ -337,3 +337,30 @@ def warp_bank_sim2_shear(
     return jnp.stack(
         [(got >> 16) & 0xFF, (got >> 8) & 0xFF, got & 0xFF], axis=-1
     ).astype(jnp.uint8)
+
+
+def warp_bank_auto(
+    bank_packed: jnp.ndarray,
+    i2Ri1: jnp.ndarray,
+    i2ti1_scaled: jnp.ndarray,
+    dst_img_px: int = bev_ops.DEFAULT_BEV_IMG_PX,
+    meters_per_px: float = bev_ops.DEFAULT_METERS_PER_PX,
+) -> jnp.ndarray:
+    """Production warp dispatch: Pallas 3-shear on TPU, gather NN elsewhere.
+
+    The Pallas kernel (ops/pallas_warp.py) is ~13x the gather warp on chip
+    (0.49 vs 6.5 ms/img measured, BENCH_NOTES.md); CPU backends (tests,
+    virtual meshes) keep the exact-NN gather, whose drift vs the direct
+    render is statistically identical to the shear's
+    (tests/parity/test_warp_drift.py). SALVE_TPU_DISABLE_PALLAS=1 forces
+    the gather everywhere.
+    """
+    if bev_ops._use_pallas_fill():  # same backend gate as the fill kernel
+        from salve_tpu.ops.pallas_warp import warp_bank_sim2_shear_pallas
+
+        return warp_bank_sim2_shear_pallas(
+            bank_packed, i2Ri1, i2ti1_scaled, dst_img_px, meters_per_px
+        )
+    return warp_bank_sim2_nn(
+        bank_packed, i2Ri1, i2ti1_scaled, dst_img_px, meters_per_px
+    )

@@ -74,14 +74,14 @@ def _make_score_body(
     ):
         if use_warp_renders:
             # depths/rgbs hold the extended warp-source banks here.
-            from salve_tpu.ops.warp import warp_bank_sim2_nn
+            from salve_tpu.ops.warp import warp_bank_auto
 
             t_scaled = translations * HOHO_S_ZIND_SCALE_FACTOR
-            ceil1 = warp_bank_sim2_nn(
+            ceil1 = warp_bank_auto(
                 depths[i1_idx], rotations, t_scaled,
                 render_cfg.img_px, render_cfg.meters_per_px,
             )
-            floor1 = warp_bank_sim2_nn(
+            floor1 = warp_bank_auto(
                 rgbs[i1_idx], rotations, t_scaled,
                 render_cfg.img_px, render_cfg.meters_per_px,
             )
