@@ -189,6 +189,11 @@ def test_world_anchored_textures_agree_across_viewpoints():
         fs = ((p[0] + p[1]) / 0.2) % 1.0
         if maybe_in_rug and min(fs, 1 - fs) < 0.25:
             continue
+        # ... and the 0.3 m speckle-cell boundaries (same quantization
+        # story as the checker).
+        fsp = (p / synthetic.SPECKLE_CELL_M) % 1.0
+        if min(fsp[0], 1 - fsp[0]) < 0.12 or min(fsp[1], 1 - fsp[1]) < 0.12:
+            continue
         d = np.linalg.norm(flat_b - p, axis=1)
         j = np.argmin(d)
         if d[j] > 0.05:
