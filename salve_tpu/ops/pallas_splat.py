@@ -30,6 +30,16 @@ random HBM round trip; here it is a VMEM access issued from the scalar
 core. Whether the scalar-issue rate beats the HBM scatter is an empirical
 question — this file exists to measure it honestly (results recorded in
 BENCH_NOTES.md; the production path only switches if it wins on chip).
+
+STATUS (round 2, recorded A/B outcome): NOT LOWERABLE on current Mosaic.
+Correct in interpret mode, but compiled lowering rejects scalar stores to
+VMEM ("Cannot store scalars to VMEM"), and the 1-element dynamic-slice
+store workaround crashes the TPU compiler. The architecture has no cheap
+data-dependent single-element VMEM write path — consistent with the sort-
+splat and int64-fused-scatter losses (BENCH_NOTES.md). The production
+splat remains the XLA scatter-max with the dedup prepass + packed winner
+gather; the Sim(2) warp path (ops/pallas_warp.py) sidesteps per-hypothesis
+splats entirely.
 """
 
 from __future__ import annotations
@@ -48,14 +58,16 @@ def _round_up(x: int, m: int) -> int:
 
 def _splat_kernel(cell_ref, key_ref, grid_ref):
     """One program = one image: VMEM grid RMW over the point list."""
-    n = cell_ref.shape[1]
+    n = cell_ref.shape[2]
     grid_ref[...] = jnp.full_like(grid_ref, -1)
 
     def body(i, carry):
-        c = cell_ref[0, i]
-        k = key_ref[0, i]
-        old = grid_ref[0, c]
-        grid_ref[0, c] = jnp.maximum(old, k)
+        c = cell_ref[0, 0, i]
+        k = key_ref[0, 0, i]
+        # Mosaic cannot store SCALARS to VMEM; the RMW rides 1-element
+        # dynamic slices instead (lowered as masked vector ops).
+        old = grid_ref[0, 0, pl.ds(c, 1)]
+        grid_ref[0, 0, pl.ds(c, 1)] = jnp.maximum(old, k)
         return carry
 
     jax.lax.fori_loop(0, n, body, 0)
@@ -87,20 +99,22 @@ def splat_priority_grid_pallas(
     hw = img_h * img_w
     hw_pad = _round_up(hw + 1, 128)  # +1: sentinel cell for invalid points
 
-    cell_m = jnp.where(ok, cell, hw_pad - 1).astype(jnp.int32)
-    key_m = jnp.where(ok, key, -1).astype(jnp.int32)
+    # (B, 1, N) shapes with (1, 1, N) blocks satisfy the TPU block-shape
+    # tiling rule (trailing dims equal the array dims).
+    cell_m = jnp.where(ok, cell, hw_pad - 1).astype(jnp.int32)[:, None, :]
+    key_m = jnp.where(ok, key, -1).astype(jnp.int32)[:, None, :]
 
     grid = pl.pallas_call(
         _splat_kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, hw_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, 1, hw_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hw_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hw_pad), jnp.int32),
         interpret=interpret,
     )(cell_m, key_m)
-    return grid[:, :hw]
+    return grid[:, 0, :hw]
