@@ -348,17 +348,19 @@ def warp_bank_auto(
 ) -> jnp.ndarray:
     """Production warp dispatch: Pallas 3-shear on TPU, gather NN elsewhere.
 
-    The Pallas kernel (ops/pallas_warp.py) is ~13x the gather warp on chip
-    (0.49 vs 6.5 ms/img measured, BENCH_NOTES.md); CPU backends (tests,
-    virtual meshes) keep the exact-NN gather, whose drift vs the direct
-    render is statistically identical to the shear's
+    The barrel-shift Pallas kernel (ops/pallas_warp.py, v2) replaces the
+    per-row scalar-loop v1 kernel: bit-exact vs the same XLA shear oracle
+    and ~11x faster on chip (0.26 vs 2.9 ms/img under shared-chip load;
+    v1 itself was ~13x the gather warp — BENCH_NOTES.md). CPU backends
+    (tests, virtual meshes) keep the exact-NN gather, whose drift vs the
+    direct render is statistically identical to the shear's
     (tests/parity/test_warp_drift.py). SALVE_TPU_DISABLE_PALLAS=1 forces
     the gather everywhere.
     """
     if bev_ops._use_pallas_fill():  # same backend gate as the fill kernel
-        from salve_tpu.ops.pallas_warp import warp_bank_sim2_shear_pallas
+        from salve_tpu.ops.pallas_warp import warp_bank_sim2_shear_pallas_v2
 
-        return warp_bank_sim2_shear_pallas(
+        return warp_bank_sim2_shear_pallas_v2(
             bank_packed, i2Ri1, i2ti1_scaled, dst_img_px, meters_per_px
         )
     return warp_bank_sim2_nn(

@@ -12,7 +12,12 @@ import pytest
 import jax.numpy as jnp
 
 from salve_tpu.ops import warp as warp_ops
-from salve_tpu.ops.pallas_warp import warp_bank_sim2_shear_pallas
+from salve_tpu.ops.pallas_warp import (
+    warp_bank_sim2_shear_pallas,
+    warp_bank_sim2_shear_pallas_v2,
+)
+
+KERNELS = [warp_bank_sim2_shear_pallas, warp_bank_sim2_shear_pallas_v2]
 
 
 def _cases():
@@ -27,8 +32,9 @@ def _cases():
     ]
 
 
+@pytest.mark.parametrize("kernel", KERNELS)
 @pytest.mark.parametrize("theta_deg,t", _cases())
-def test_pallas_shear_matches_xla_oracle(theta_deg, t):
+def test_pallas_shear_matches_xla_oracle(theta_deg, t, kernel):
     rng = np.random.default_rng(1)
     s_px, dst_px = 201, 100
     src = rng.integers(0, 256, (1, s_px, s_px, 3)).astype(np.uint8)
@@ -47,14 +53,13 @@ def test_pallas_shear_matches_xla_oracle(theta_deg, t):
         warp_ops.warp_bank_sim2_shear(packed, R, tt, dst_img_px=dst_px)
     )
     got = np.asarray(
-        warp_bank_sim2_shear_pallas(
-            packed, R, tt, dst_img_px=dst_px, interpret=True
-        )
+        kernel(packed, R, tt, dst_img_px=dst_px, interpret=True)
     )
     np.testing.assert_array_equal(ref, got)
 
 
-def test_pallas_shear_batched_mixed_angles():
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_pallas_shear_batched_mixed_angles(kernel):
     rng = np.random.default_rng(2)
     s_px, dst_px = 201, 100
     src = rng.integers(0, 256, (3, s_px, s_px, 3)).astype(np.uint8)
@@ -75,6 +80,6 @@ def test_pallas_shear_batched_mixed_angles():
     t = jnp.asarray(np.array([t for _, t in cases], np.float32))
     ref = np.asarray(warp_ops.warp_bank_sim2_shear(packed, R, t, dst_img_px=dst_px))
     got = np.asarray(
-        warp_bank_sim2_shear_pallas(packed, R, t, dst_img_px=dst_px, interpret=True)
+        kernel(packed, R, t, dst_img_px=dst_px, interpret=True)
     )
     np.testing.assert_array_equal(ref, got)
