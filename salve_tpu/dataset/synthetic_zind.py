@@ -46,6 +46,7 @@ def materialize_synthetic_building(
     import imageio.v2 as imageio
 
     from salve_tpu.rendering.synthetic import (
+        R_FIX as synthetic_R_FIX,
         build_floor_world,
         render_synthetic_pano_world,
     )
@@ -75,12 +76,16 @@ def materialize_synthetic_building(
         for i, pano in pg.nodes.items():
             cam_h = pg.get_camera_height_m(i)
             cam_xy = pano.global_Sim2_local.transform_from(np.zeros((1, 2)))[0] * S
+            # R_FIX post-multiply: synthetic panos follow the real-ZInD
+            # sphere-frame convention (rendering/synthetic.py:R_FIX), so the
+            # production backprojection's -90 deg ego fix is correct on them.
             out = render_synthetic_pano_world(
                 world,
                 cam_xy=cam_xy,
                 cam_h=cam_h,
                 seed=floor_seed,
-                world_R=np.asarray(pano.global_Sim2_local.rotation, dtype=np.float64),
+                world_R=np.asarray(pano.global_Sim2_local.rotation, dtype=np.float64)
+                @ synthetic_R_FIX,
             )
             stem = Path(pano.image_path).stem
             imageio.imwrite(str(bdir / "panos" / f"{stem}.jpg"), out["rgb"], quality=95)

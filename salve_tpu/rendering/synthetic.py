@@ -31,6 +31,19 @@ PANO_H, PANO_W = 512, 1024
 
 FLOOR, CEILING, WALL = 0, 1, 2
 
+# ZInD ego frame vs pano sphere frame: the production backprojection
+# (rendering/bev_pair.py:_R_FIX, parity salve/utils/bev_rendering_utils.py:443)
+# maps a REAL pano's sphere-frame directions into the ego frame with a -90 deg
+# rotation. Synthetic panos must obey the same pixel->direction convention, so
+# every pose-driven generator entry point bakes the inverse into its
+# camera->world rotation:  R_render(sphere->world) = R_ego_to_world @ R_FIX.
+# (Round-2 root cause: without this, production-backprojected synthetic clouds
+# are rotated 90 deg from the hypothesis frame; rotations commute, so each
+# pair render looks plausible but misregisters by a pose-dependent offset
+# ~|t| — aligned training pairs photometrically DISAGREE, which capped the
+# verifier at chance. A/B: aligned-pair jointdiff 41.9 -> 6.2 with the fix.)
+R_FIX = np.array([[0.0, 1.0], [-1.0, 0.0]])
+
 
 def raycast_layout(
     room_vertices_m: np.ndarray,
@@ -603,13 +616,19 @@ def synthetic_pano_for_pano_data(
     p_world_m = R @ p_cam_m + camera_height_m * t, since the pano scale
     satisfies S * s_pano = camera_height_m. Pass the same `seed` for every
     pano of a building so they share one texture world.
+
+    The pano's camera (sphere) frame follows the real-ZInD convention:
+    ego = R_FIX @ sphere (see R_FIX above), so the production backprojection
+    chain recovers the parsed ego frame exactly.
     """
-    verts_m = np.asarray(pano.room_vertices_local_2d, dtype=np.float64) * float(
-        camera_height_m
-    )
+    verts_ego = np.asarray(pano.room_vertices_local_2d, dtype=np.float64)
+    # Camera-frame verts: R_render^T (w - c) = R_FIX^T @ ego (row form: @ R_FIX).
+    verts_m = (verts_ego @ R_FIX) * float(camera_height_m)
     world_R = world_t = None
     if scale_meters_per_coordinate is not None:
-        world_R = np.asarray(pano.global_Sim2_local.rotation, dtype=np.float64)
+        world_R = (
+            np.asarray(pano.global_Sim2_local.rotation, dtype=np.float64) @ R_FIX
+        )
         world_t = camera_height_m * np.asarray(
             pano.global_Sim2_local.translation, dtype=np.float64
         )

@@ -1,0 +1,98 @@
+"""Materialized synthetic worlds are consistent with the PRODUCTION BEV path.
+
+Round-2 regression lock: the synthetic pano generator must follow the real
+ZInD pixel->direction convention (ego = R_FIX @ sphere, the -90 deg fix the
+production backprojection applies, salve/utils/bev_rendering_utils.py:443).
+When the generator instead rendered panos whose sphere frame equaled the ego
+frame, every production-rendered "aligned" pair misregistered by a
+pose-dependent offset ~|t| — photometrically indistinguishable from a
+misaligned pair, which silently capped verifier training at chance.
+
+The decisive check lives here: materialize a building with the real
+materializer, render a GT-exact pair with the real pair renderer, and demand
+aligned pairs photometrically AGREE while misaligned pairs DISAGREE.
+"""
+
+import numpy as np
+import pytest
+
+from salve_tpu.common import posegraph2d
+from salve_tpu.dataset.procedural import write_procedural_buildings
+from salve_tpu.dataset.synthetic_zind import materialize_synthetic_building
+from salve_tpu.geometry.sim2 import Sim2
+from salve_tpu.rendering import bev_pair
+
+
+@pytest.fixture(scope="module")
+def materialized_building(tmp_path_factory):
+    root = tmp_path_factory.mktemp("world_consistency")
+    src = root / "geom"
+    zind = root / "zind"
+    depth = root / "depth"
+    write_procedural_buildings(str(src), ["0001"], base_seed=0)
+    materialize_synthetic_building(
+        str(src), "0001", str(zind), depth_save_root=str(depth)
+    )
+    pg = posegraph2d.get_gt_pose_graph("0001", "floor_01", str(zind))
+    return zind, depth, pg
+
+
+def _same_room_pair(pg):
+    """Two pano ids sharing a room (nearest camera pair is a safe proxy)."""
+    ids = sorted(pg.nodes)
+    cams = {
+        i: pg.nodes[i].global_Sim2_local.transform_from(np.zeros((1, 2)))[0]
+        for i in ids
+    }
+    best = min(
+        ((a, b) for a in ids for b in ids if a < b),
+        key=lambda ab: np.linalg.norm(cams[ab[0]] - cams[ab[1]]),
+    )
+    return best
+
+
+def _joint_diff(img_a, img_b):
+    a = img_a.astype(np.float32)
+    b = img_b.astype(np.float32)
+    sup = (a.sum(-1) > 0) & (b.sum(-1) > 0)
+    assert sup.mean() > 0.02, "pair has (almost) no joint support"
+    return float(np.abs(a - b).mean(-1)[sup].mean())
+
+
+def test_aligned_pairs_agree_misaligned_disagree(materialized_building):
+    zind, depth_root, pg = materialized_building
+    i, j = _same_room_pair(pg)
+
+    def load(pid):
+        from pathlib import Path
+
+        stem = Path(pg.nodes[pid].image_path).stem
+        d = bev_pair.load_depth_mm(str(depth_root / "0001" / f"{stem}.depth.png"))
+        r = bev_pair.load_pano_rgb(str(zind / "0001" / "panos" / f"{stem}.jpg"))
+        return d, r
+
+    d1, r1 = load(i)
+    d2, r2 = load(j)
+
+    # GT-exact relative pose in ego-normalized units: i2Ti1 = w2^-1 o w1.
+    rel = pg.nodes[j].global_Sim2_local.inverse().compose(
+        pg.nodes[i].global_Sim2_local
+    )
+    exact = Sim2(R=rel.rotation, t=rel.translation, s=1.0)
+
+    a1, a2 = bev_pair.render_bev_pair(d1, r1, d2, r2, exact, "floor")
+    aligned = _joint_diff(a1, a2)
+
+    # Misaligned control: same rotation, translation off by ~1 m world.
+    wrong = Sim2(
+        R=rel.rotation, t=rel.translation + np.array([0.45, -0.3]), s=1.0
+    )
+    w1, w2 = bev_pair.render_bev_pair(d1, r1, d2, r2, wrong, "floor")
+    misaligned = _joint_diff(w1, w2)
+
+    # Aligned pairs sit near the noise floor (shading + sensor noise + JPEG);
+    # misaligned pairs decorrelate on the world-anchored textures.
+    assert aligned < 14.0, f"aligned pair jointdiff {aligned:.1f} too high"
+    assert misaligned > 2.0 * aligned, (
+        f"no aligned/misaligned separation: {aligned:.1f} vs {misaligned:.1f}"
+    )
