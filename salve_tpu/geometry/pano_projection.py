@@ -102,6 +102,45 @@ zind_sphere_to_pixel = sphere_to_pixel
 zind_room_cartesian_to_worldmetric = room_cartesian_to_worldmetric
 
 
+def worldmetric_to_room_cartesian(
+    points_worldmetric: np.ndarray, camera_height_m: float, xp=np
+) -> np.ndarray:
+    """Inverse of :func:`room_cartesian_to_worldmetric` for floor points.
+
+    This is the transform `salve/utils/buggy_transforms.py:23` intends but
+    never achieves (its sign-squaring step makes it unrecoverable and it
+    halts at a live pdb.set_trace()). The inverse is recoverable for floor
+    points because they are below the horizon: of the two antipodal
+    unit-sphere rays mapping to a given floor location, the one with
+    negative sphere-frame y (downward-looking) is the physical one.
+    """
+    x = points_worldmetric[..., 0]
+    y = points_worldmetric[..., 1]
+    # Un-permute: world = [-f.x, f.z, f.y] * (h / f.y) for f = cart * [1,1,-1].
+    w = xp.stack([-x, xp.full_like(x, camera_height_m), y], axis=-1)
+    norm = xp.sqrt(xp.sum(w * w, axis=-1, keepdims=True))
+    flipped = -w / norm  # choose the downward-looking (f.y < 0) solution
+    return flipped * xp.asarray([1.0, 1.0, -1.0])
+
+
+def worldmetric_to_pixel(
+    points_worldmetric: np.ndarray, image_width: int, camera_height_m: float, xp=np
+) -> np.ndarray:
+    """Full chain world-metric -> pano pixel, valid for points on the floor.
+
+    The corrected counterpart of the reference's
+    `buggy_transforms.convert_points_worldmetric_to_px` (known-buggy, dead
+    code there); exact round-trip inverse of :func:`pixel_to_worldmetric`.
+    """
+    cart = worldmetric_to_room_cartesian(points_worldmetric, camera_height_m, xp=xp)
+    sph = cartesian_to_sphere(cart, xp=xp)
+    return sphere_to_pixel(sph, width=image_width, xp=xp)
+
+
+# Reference-API alias (corrected behavior; see docstring above).
+convert_points_worldmetric_to_px = worldmetric_to_pixel
+
+
 def xy_to_u(xy: np.ndarray, xp=np) -> np.ndarray:
     """World-metric (N,2) -> horizontal texture coordinate u in [0,1]."""
     return (xp.arctan2(xy[..., 0], xy[..., 1]) / math.pi + 1.0) / 2.0

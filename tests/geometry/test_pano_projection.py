@@ -124,3 +124,42 @@ class TestUniSphere:
         assert np.allclose(sphere_xyz[511, 0], np.array([0, 0, -1]), atol=4e-3)
         # Center pixel of the panorama points toward -x.
         assert np.allclose(sphere_xyz[256, 512], np.array([-1, 0, 0]), atol=4e-3)
+
+
+class TestWorldMetricInverse:
+    """The corrected buggy_transforms chain: world-metric -> pixel."""
+
+    def test_pixel_world_pixel_roundtrip(self) -> None:
+        """Floor pixels (below horizon) round-trip exactly through the
+        world-metric frame — the recoverability the reference's
+        buggy_transforms.py loses with its sign-squaring step."""
+        rng = np.random.default_rng(1)
+        N, img_w, img_h = 5000, 1024, 512
+        camera_height = 1.45
+        # Strictly below the horizon row (img_h/2) so rays hit the floor.
+        px = np.stack(
+            [
+                rng.uniform(0, img_w - 1, N),
+                rng.uniform(img_h / 2 + 2, img_h - 1, N),
+            ],
+            axis=-1,
+        )
+        world = P.pixel_to_worldmetric(px, img_w, camera_height)
+        px_back = P.worldmetric_to_pixel(world, img_w, camera_height)
+        assert np.allclose(px, px_back, atol=1e-6)
+
+    def test_world_pixel_world_roundtrip(self) -> None:
+        rng = np.random.default_rng(2)
+        camera_height = 1.6
+        xy = rng.uniform(-6, 6, (2000, 2))
+        world = np.concatenate([xy, np.full((2000, 1), camera_height)], axis=-1)
+        px = P.worldmetric_to_pixel(world, 2048, camera_height)
+        world_back = P.pixel_to_worldmetric(px, 2048, camera_height)
+        assert np.allclose(world, world_back, atol=1e-6)
+
+    def test_room_cartesian_inverse_is_downward_unit_ray(self) -> None:
+        cart = P.worldmetric_to_room_cartesian(
+            np.array([[2.0, 3.0, 1.5], [-1.0, 0.5, 1.5]]), camera_height_m=1.5
+        )
+        assert np.allclose(np.linalg.norm(cart, axis=-1), 1.0)
+        assert np.all(cart[:, 1] < 0)  # below the horizon in the sphere frame
