@@ -30,6 +30,11 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _finite(x):
+    """float(x), or None when missing/non-finite (keeps the JSON strict)."""
+    return float(x) if x is not None and np.isfinite(x) else None
+
+
 @click.command(help="End-to-end accuracy run on synthesized fixture buildings.")
 @click.option("--src_zind_dir", type=click.Path(exists=True),
               default="/root/reference/tests/test_data/ZInD")
@@ -56,11 +61,17 @@ logger = logging.getLogger(__name__)
 @click.option("--append_pair_difference", is_flag=True, default=False,
               help="Feed explicit per-pair difference channels to the "
                    "verifier stem (from-scratch training aid).")
+@click.option("--stage_d_only", is_flag=True, default=False,
+              help="Reuse an existing output_dir (hypotheses + serialized "
+                   "preds from a prior full run) and re-run only Stage D — "
+                   "for confidence-threshold / method sweeps without "
+                   "retraining. Writes a suffixed summary JSON.")
 def run_end_to_end_eval(
     src_zind_dir, output_dir, train_building, eval_building, num_layers,
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
     confidence_threshold, method, procedural_train_buildings,
     procedural_val_buildings, photometric_augmentation, append_pair_difference,
+    stage_d_only,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     t_start = time.time()
@@ -70,6 +81,13 @@ def run_end_to_end_eval(
     preds_dir, plots_dir = out / "preds", out / "plots"
     for d in (raw_dir, depth_root, hyp_root, bev_root, preds_dir, plots_dir):
         d.mkdir(parents=True, exist_ok=True)
+
+    if stage_d_only:
+        _run_stage_d_only(
+            out, hyp_root, raw_dir, preds_dir, plots_dir, method,
+            confidence_threshold, t_start,
+        )
+        return
 
     from salve_tpu.common import posegraph2d
     from salve_tpu.dataset.synthetic_zind import materialize_synthetic_building
@@ -208,12 +226,10 @@ def run_end_to_end_eval(
         "depth": "model:" + depth_ckpt if depth_ckpt else "gt_raycast",
         "reconstruction": [
             {
-                "avg_abs_rot_err_deg": float(r.avg_abs_rot_err),
-                "avg_abs_trans_err": float(r.avg_abs_trans_err),
-                "percent_panos_localized": float(r.percent_panos_localized),
-                "floorplan_iou": float(r.floorplan_iou)
-                if r.floorplan_iou is not None and np.isfinite(r.floorplan_iou)
-                else None,
+                "avg_abs_rot_err_deg": _finite(r.avg_abs_rot_err),
+                "avg_abs_trans_err": _finite(r.avg_abs_trans_err),
+                "percent_panos_localized": _finite(r.percent_panos_localized),
+                "floorplan_iou": _finite(r.floorplan_iou),
             }
             for r in reports
         ],
@@ -223,6 +239,49 @@ def run_end_to_end_eval(
         "total_wallclock_s": round(time.time() - t_start, 2),
     }
     with open(out / "end_to_end_eval.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+def _run_stage_d_only(
+    out, hyp_root, raw_dir, preds_dir, plots_dir, method,
+    confidence_threshold, t_start,
+) -> None:
+    """Stage D over a prior run's hypotheses + serialized predictions."""
+    from salve_tpu.cli.run_sfm import run_incremental_reconstruction
+
+    assert any(preds_dir.glob("*.json")), (
+        f"--stage_d_only needs serialized predictions in {preds_dir} "
+        "(run the full pipeline once first)"
+    )
+    reports = run_incremental_reconstruction(
+        hypotheses_save_root=str(hyp_root),
+        serialized_preds_json_dir=str(preds_dir),
+        raw_dataset_dir=str(raw_dir),
+        method=method,
+        confidence_threshold=confidence_threshold,
+        use_axis_alignment=False,
+        allowed_wdo_types=["door", "window", "opening"],
+        predictions_data_root=None,
+        plot_save_dir=str(plots_dir),
+    )
+    summary = {
+        "stage_d_only": True,
+        "method": method,
+        "confidence_threshold": confidence_threshold,
+        "reconstruction": [
+            {
+                "avg_abs_rot_err_deg": _finite(r.avg_abs_rot_err),
+                "avg_abs_trans_err": _finite(r.avg_abs_trans_err),
+                "percent_panos_localized": _finite(r.percent_panos_localized),
+                "floorplan_iou": _finite(r.floorplan_iou),
+            }
+            for r in reports
+        ],
+        "total_wallclock_s": round(time.time() - t_start, 2),
+    }
+    tag = f"{method}_conf{confidence_threshold:g}"
+    with open(out / f"end_to_end_eval_stage_d_{tag}.json", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 
