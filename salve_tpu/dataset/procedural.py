@@ -8,11 +8,16 @@ buildings as needed. The fixture set ships only two real buildings; the
 reference's released models were trained on 587 tours — this closes the
 data-scale gap for synthetic end-to-end runs.
 
-World model: an R x C grid of rectangular rooms with some cells removed,
-doors on shared interior walls (present in BOTH adjacent rooms' W/D/O
-lists at coincident world coordinates — exactly what Stage A aligns on),
-windows on exterior walls, occasional wide openings, and 1-2 panos per
-room at jittered positions/headings.
+World model (v7 — diversified toward the real-ZInD geometry distribution,
+measured on fixture building 1210: per-pano ceiling ratios 1.58-2.53,
+rectilinear non-rectangular rooms, varied W/D/O widths):
+an R x C grid of rooms with some cells removed, L-shaped notches cut from
+exterior corners (rooms become 6-vertex rectilinear polygons), doors /
+openings of randomized width on shared interior walls (present in BOTH
+adjacent rooms' W/D/O lists at coincident world coordinates — exactly what
+Stage A aligns on), 1-2 windows per exterior wall, randomized camera and
+ceiling heights per building, and 1-3 panos per room at clearance-checked
+positions/headings.
 """
 
 from __future__ import annotations
@@ -22,13 +27,6 @@ from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
-
-CAMERA_HEIGHT_M = 1.5
-DOOR_WIDTH_M = 0.95
-OPENING_WIDTH_M = 1.8
-WINDOW_WIDTH_M = 1.3
-DOOR_TOP_M = 2.05
-WINDOW_BOTTOM_M, WINDOW_TOP_M = 0.9, 2.0
 
 
 def _ego_from_world(p_world_m, cam_xy, theta_deg, cam_h):
@@ -56,6 +54,64 @@ def _wall_segment(center_xy, along, half_width):
     return a, b
 
 
+def _point_in_poly(pt, poly) -> bool:
+    """Even-odd ray cast; poly is (V,2), pt is (2,)."""
+    x, y = float(pt[0]), float(pt[1])
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xin = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+            if x < xin:
+                inside = not inside
+    return inside
+
+
+def _min_edge_dist(pt, poly) -> float:
+    """Min distance from pt to the polygon's boundary segments."""
+    p = np.asarray(pt, dtype=float)
+    a = np.asarray(poly, dtype=float)
+    b = np.roll(a, -1, axis=0)
+    ab = b - a
+    denom = np.maximum((ab * ab).sum(axis=1), 1e-12)
+    t = np.clip(((p - a) * ab).sum(axis=1) / denom, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    return float(np.sqrt(((p - proj) ** 2).sum(axis=1)).min())
+
+
+def _sample_camera_xy(rng, poly) -> Tuple[float, float]:
+    """A camera position inside the (possibly notched) room polygon.
+
+    Rejection-sample with generous wall clearance, relax if the room is
+    tight, and fall back to the in-polygon candidate with the largest
+    clearance (small fixture rooms always admit one).
+    """
+    poly = np.asarray(poly, dtype=float)
+    lo = poly.min(axis=0)
+    hi = poly.max(axis=0)
+    best, best_d = None, -1.0
+    for clearance in (0.7, 0.45):
+        for _ in range(200):
+            pt = rng.uniform(lo, hi)
+            if not _point_in_poly(pt, poly):
+                continue
+            d = _min_edge_dist(pt, poly)
+            if d > best_d:
+                best, best_d = pt, d
+            if d >= clearance:
+                return float(pt[0]), float(pt[1])
+    assert best is not None, "no interior camera position found"
+    return float(best[0]), float(best[1])
+
+
+def _poly_area(poly) -> float:
+    p = np.asarray(poly, dtype=float)
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
 def generate_building_json(
     seed: int,
     n_rows: Optional[int] = None,
@@ -64,12 +120,22 @@ def generate_building_json(
 ) -> Dict:
     """One procedural building as a zind_data.json-compatible dict."""
     rng = np.random.default_rng(seed)
-    R = n_rows or int(rng.integers(2, 4))
-    C = n_cols or int(rng.integers(2, 4))
+    R = n_rows or int(rng.integers(2, 5))
+    C = n_cols or int(rng.integers(2, 5))
+    while R * C > 12:  # cap the floor size (real tours average ~8 rooms/floor)
+        if R >= C:
+            R -= 1
+        else:
+            C -= 1
+
+    # Per-building height draws. Real ZInD: camera ~1.3-1.7 m, ego ceiling
+    # ratio 1.58-2.53 on fixture 1210 (median 1.92).
+    cam_base_m = float(rng.uniform(1.30, 1.70))
+    ceil_m = float(np.clip(cam_base_m * rng.uniform(1.65, 2.25), 2.15, 3.4))
 
     # Cell extents (shared walls): cumulative random sizes.
-    widths = rng.uniform(3.0, 5.5, C)
-    heights = rng.uniform(3.0, 5.0, R)
+    widths = rng.uniform(2.4, 6.8, C)
+    heights = rng.uniform(2.4, 6.2, R)
     xs = np.concatenate([[0.0], np.cumsum(widths)])
     ys = np.concatenate([[0.0], np.cumsum(heights)])
 
@@ -82,75 +148,160 @@ def generate_building_json(
         if trial.sum() >= 2 and _is_connected(trial):
             present = trial
 
-    rooms = {}  # (r,c) -> polygon (4,2) world-metric CCW
+    # Interior wall lines (axis, coord, lo, hi): notches never touch these,
+    # and window placement must avoid them.
+    interior_walls = []
     for r in range(R):
         for c in range(C):
-            if present[r, c]:
-                x0, x1, y0, y1 = xs[c], xs[c + 1], ys[r], ys[r + 1]
-                rooms[(r, c)] = np.array(
-                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
-                )
+            if not present[r, c]:
+                continue
+            if c + 1 < C and present[r, c + 1]:
+                interior_walls.append(("v", xs[c + 1], ys[r], ys[r + 1]))
+            if r + 1 < R and present[r + 1, c]:
+                interior_walls.append(("h", ys[r + 1], xs[c], xs[c + 1]))
 
-    # W/D/Os per room, as (type, world endpoint a, world endpoint b, bz, tz).
+    def _edge_is_interior(p0, p1) -> bool:
+        (x0, y0), (x1, y1) = p0, p1
+        for axis, coord, lo, hi in interior_walls:
+            if axis == "v" and abs(x0 - coord) < 1e-9 and abs(x1 - coord) < 1e-9:
+                if min(y0, y1) >= lo - 1e-9 and max(y0, y1) <= hi + 1e-9:
+                    return True
+            if axis == "h" and abs(y0 - coord) < 1e-9 and abs(y1 - coord) < 1e-9:
+                if min(x0, x1) >= lo - 1e-9 and max(x0, x1) <= hi + 1e-9:
+                    return True
+        return False
+
+    # Room polygons, CCW world-metric. Rooms with an exterior corner get an
+    # L-notch with probability 0.45 (rectilinear 6-gons, like real homes);
+    # interior (shared) walls are never modified, so door coincidence and
+    # the grid contracts are preserved.
+    rooms: Dict[Tuple[int, int], np.ndarray] = {}
+    for r in range(R):
+        for c in range(C):
+            if not present[r, c]:
+                continue
+            x0, x1, y0, y1 = xs[c], xs[c + 1], ys[r], ys[r + 1]
+            w, h = x1 - x0, y1 - y0
+            poly = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            left_ext = c == 0 or not present[r, c - 1]
+            right_ext = c + 1 == C or not present[r, c + 1]
+            bot_ext = r == 0 or not present[r - 1, c]
+            top_ext = r + 1 == R or not present[r + 1, c]
+            corners = []
+            if left_ext and bot_ext:
+                corners.append("BL")
+            if right_ext and bot_ext:
+                corners.append("BR")
+            if right_ext and top_ext:
+                corners.append("TR")
+            if left_ext and top_ext:
+                corners.append("TL")
+            if corners and w >= 2.9 and h >= 2.9 and rng.uniform() < 0.45:
+                corner = corners[int(rng.integers(len(corners)))]
+                dx = float(rng.uniform(0.7, 0.45 * w))
+                dy = float(rng.uniform(0.7, 0.45 * h))
+                if corner == "TR":
+                    poly = np.array(
+                        [[x0, y0], [x1, y0], [x1, y1 - dy], [x1 - dx, y1 - dy],
+                         [x1 - dx, y1], [x0, y1]]
+                    )
+                elif corner == "TL":
+                    poly = np.array(
+                        [[x0, y0], [x1, y0], [x1, y1], [x0 + dx, y1],
+                         [x0 + dx, y1 - dy], [x0, y1 - dy]]
+                    )
+                elif corner == "BL":
+                    poly = np.array(
+                        [[x0, y0 + dy], [x0 + dx, y0 + dy], [x0 + dx, y0],
+                         [x1, y0], [x1, y1], [x0, y1]]
+                    )
+                else:  # BR
+                    poly = np.array(
+                        [[x0, y0], [x1 - dx, y0], [x1 - dx, y0 + dy],
+                         [x1, y0 + dy], [x1, y1], [x0, y1]]
+                    )
+            rooms[(r, c)] = poly
+
+    # W/D/Os per room, as (type, world endpoint a, world endpoint b, bz, tz)
+    # in meters. Doors/openings live on shared interior walls and are
+    # duplicated into both rooms at coincident world coordinates.
     wdos: Dict[Tuple[int, int], List] = {rc: [] for rc in rooms}
     for (r, c) in rooms:
-        # Right neighbor: shared vertical wall at xs[c+1].
-        if (r, c + 1) in rooms:
-            is_opening = rng.uniform() < 0.25
-            width = OPENING_WIDTH_M if is_opening else DOOR_WIDTH_M
-            lo, hi = ys[r] + 0.6 + width / 2, ys[r + 1] - 0.6 - width / 2
-            if hi > lo:
-                cy = rng.uniform(lo, hi)
-                a, b = _wall_segment((xs[c + 1], cy), (0.0, 1.0), width / 2)
-                kind = "openings" if is_opening else "doors"
-                top = 2.4 if is_opening else DOOR_TOP_M
-                wdos[(r, c)].append((kind, a, b, 0.0, top))
-                wdos[(r, c + 1)].append((kind, a, b, 0.0, top))
-        # Top neighbor: shared horizontal wall at ys[r+1].
-        if (r + 1, c) in rooms:
-            is_opening = rng.uniform() < 0.25
-            width = OPENING_WIDTH_M if is_opening else DOOR_WIDTH_M
-            lo, hi = xs[c] + 0.6 + width / 2, xs[c + 1] - 0.6 - width / 2
-            if hi > lo:
-                cx = rng.uniform(lo, hi)
-                a, b = _wall_segment((cx, ys[r + 1]), (1.0, 0.0), width / 2)
-                kind = "openings" if is_opening else "doors"
-                top = 2.4 if is_opening else DOOR_TOP_M
-                wdos[(r, c)].append((kind, a, b, 0.0, top))
-                wdos[(r + 1, c)].append((kind, a, b, 0.0, top))
-        # Windows on exterior walls.
-        for side, nbr, seg in (
-            ("left", (r, c - 1), ((xs[c], ys[r]), (xs[c], ys[r + 1]), (0.0, 1.0))),
-            ("right", (r, c + 1), ((xs[c + 1], ys[r]), (xs[c + 1], ys[r + 1]), (0.0, 1.0))),
-            ("bottom", (r - 1, c), ((xs[c], ys[r]), (xs[c + 1], ys[r]), (1.0, 0.0))),
-            ("top", (r + 1, c), ((xs[c], ys[r + 1]), (xs[c + 1], ys[r + 1]), (1.0, 0.0))),
+        for nbr, line in (
+            ((r, c + 1), ("v", xs[c + 1], ys[r], ys[r + 1])),
+            ((r + 1, c), ("h", ys[r + 1], xs[c], xs[c + 1])),
         ):
-            if nbr in rooms or rng.uniform() < 0.35:
+            if nbr not in rooms:
                 continue
-            (p0, p1, along) = seg
-            span = np.linalg.norm(np.asarray(p1) - np.asarray(p0))
-            if span < WINDOW_WIDTH_M + 1.2:
-                continue
-            u = rng.uniform(0.6 + WINDOW_WIDTH_M / 2, span - 0.6 - WINDOW_WIDTH_M / 2)
-            center = np.asarray(p0) + np.asarray(along) * u
-            a, b = _wall_segment(center, along, WINDOW_WIDTH_M / 2)
-            wdos[(r, c)].append(("windows", a, b, WINDOW_BOTTOM_M, WINDOW_TOP_M))
+            is_opening = rng.uniform() < 0.25
+            width = float(
+                rng.uniform(1.3, 2.6) if is_opening else rng.uniform(0.75, 1.15)
+            )
+            axis, coord, lo_w, hi_w = line
+            lo, hi = lo_w + 0.5 + width / 2, hi_w - 0.5 - width / 2
+            if hi <= lo:
+                # Narrow shared wall: shrink toward a standard door.
+                width = 0.8
+                lo, hi = lo_w + 0.4 + width / 2, hi_w - 0.4 - width / 2
+                is_opening = False
+                if hi <= lo:
+                    continue
+            cu = rng.uniform(lo, hi)
+            along = (0.0, 1.0) if axis == "v" else (1.0, 0.0)
+            center = (coord, cu) if axis == "v" else (cu, coord)
+            a, b = _wall_segment(center, along, width / 2)
+            kind = "openings" if is_opening else "doors"
+            top = (
+                min(2.4, ceil_m - 0.15)
+                if is_opening
+                else min(float(rng.uniform(1.95, 2.2)), ceil_m - 0.25)
+            )
+            wdos[(r, c)].append((kind, a, b, 0.0, top))
+            wdos[nbr].append((kind, a, b, 0.0, top))
 
-    # Panos: 1-2 per room.
+        # Windows on exterior polygon edges (1-2 per long edge).
+        poly = rooms[(r, c)]
+        for i in range(len(poly)):
+            p0, p1 = poly[i], poly[(i + 1) % len(poly)]
+            if _edge_is_interior(p0, p1):
+                continue
+            span = float(np.linalg.norm(p1 - p0))
+            win_w = float(rng.uniform(0.9, 1.8))
+            if span < win_w + 1.2 or rng.uniform() < 0.35:
+                continue
+            along = (p1 - p0) / span
+            n_win = 2 if span >= 2 * (win_w + 1.2) and rng.uniform() < 0.5 else 1
+            for k in range(n_win):
+                s_lo = 0.5 + win_w / 2 + k * span / n_win
+                s_hi = (k + 1) * span / n_win - 0.5 - win_w / 2
+                if s_hi <= s_lo:
+                    continue
+                u = rng.uniform(s_lo, s_hi)
+                center = p0 + along * u
+                a, b = _wall_segment(center, along, win_w / 2)
+                w_bot = float(rng.uniform(0.7, 1.0))
+                w_top = min(float(rng.uniform(1.75, 2.25)), ceil_m - 0.25)
+                wdos[(r, c)].append(("windows", a, b, w_bot, w_top))
+
+    # Panos: 1-3 per room, count scaled by room area.
     merger_floor: Dict[str, Dict] = {}
     pano_id = 0
     S = float(scale_meters_per_coordinate)
     for k, ((r, c), poly) in enumerate(sorted(rooms.items())):
         complete = f"complete_room_{k:02d}"
         merger_floor[complete] = {}
-        n_panos = int(rng.integers(1, 3))
+        area = _poly_area(poly)
+        n_panos = 1
+        if rng.uniform() < min(0.8, area / 20.0):
+            n_panos += 1
+        if rng.uniform() < min(0.4, area / 50.0):
+            n_panos += 1
         for j in range(n_panos):
             partial = f"partial_room_{k:02d}"
             pano_key = f"pano_{pano_id}"
-            cx = rng.uniform(poly[0, 0] + 0.9, poly[1, 0] - 0.9)
-            cy = rng.uniform(poly[0, 1] + 0.9, poly[2, 1] - 0.9)
+            cx, cy = _sample_camera_xy(rng, poly)
             theta = float(rng.uniform(0.0, 360.0))
-            cam_h = CAMERA_HEIGHT_M
+            cam_h = float(np.clip(cam_base_m + rng.uniform(-0.06, 0.06), 1.2, 1.8))
 
             verts_ego = _ego_from_world(poly, (cx, cy), theta, cam_h)
             layout = {
@@ -175,7 +326,10 @@ def generate_building_json(
             )
             merger_floor[complete].setdefault(partial, {})[pano_key] = {
                 "camera_height": 1.0,
-                "ceiling_height": 2.0,
+                # Ego-normalized, like real ZInD (floor at -1, ceiling at
+                # ceiling_height - 1); consumed by synthetic_zind.py to set
+                # the rendered world's ceiling plane.
+                "ceiling_height": ceil_m / cam_h,
                 "checksum": "",
                 "floor_number": 1,
                 "is_ceiling_flat": True,

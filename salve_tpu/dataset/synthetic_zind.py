@@ -10,6 +10,7 @@ through their real file contracts.
 
 from __future__ import annotations
 
+import json
 import shutil
 import zlib
 from pathlib import Path
@@ -18,6 +19,28 @@ from typing import Callable, Dict, Optional
 import numpy as np
 
 from salve_tpu.common import posegraph2d
+
+
+def _ceiling_heights_by_stem(zind_json_fpath: Path) -> Dict[str, float]:
+    """Per-pano ego-normalized ceiling_height keyed by image stem.
+
+    ZInD stores ceiling_height relative to the unit camera height (fixture
+    1210: 1.58-2.53, median 1.92); PanoData does not parse it (matching the
+    reference parser, salve/common/pano_data.py:79), so read it from the
+    raw JSON here to place the rendered world's ceiling plane.
+    """
+    with open(zind_json_fpath) as f:
+        data = json.load(f)
+    out: Dict[str, float] = {}
+    for floor in data.get("merger", {}).values():
+        for complete in floor.values():
+            for partial in complete.values():
+                for pano in partial.values():
+                    if not isinstance(pano, dict) or "image_path" not in pano:
+                        continue
+                    stem = Path(pano["image_path"]).stem
+                    out[stem] = float(pano.get("ceiling_height", 2.0))
+    return out
 
 
 def materialize_synthetic_building(
@@ -57,6 +80,8 @@ def materialize_synthetic_building(
         Path(src_zind_dir) / building_id / "zind_data.json", bdir / "zind_data.json"
     )
 
+    ceil_by_stem = _ceiling_heights_by_stem(bdir / "zind_data.json")
+
     written: Dict[str, int] = {}
     floors = posegraph2d.compute_available_floors_for_building(
         building_id, str(out_raw_dir)
@@ -73,6 +98,16 @@ def materialize_synthetic_building(
             seed * 4093 + zlib.crc32(f"{building_id}/{floor_id}".encode())
         ) & 0x7FFFFFFF
         S = float(pg.scale_meters_per_coordinate)
+        # One ceiling plane per floor world (panos viewing the same space
+        # must agree on the geometry): the median metric ceiling over the
+        # floor's panos. ZInD annotates ceiling height per pano/room; the
+        # raycast world is a single-ceiling approximation of that.
+        ceils_m = [
+            ceil_by_stem.get(Path(p.image_path).stem, 2.0)
+            * pg.get_camera_height_m(i)
+            for i, p in pg.nodes.items()
+        ]
+        floor_ceil_m = float(np.median(ceils_m)) if ceils_m else None
         for i, pano in pg.nodes.items():
             cam_h = pg.get_camera_height_m(i)
             cam_xy = pano.global_Sim2_local.transform_from(np.zeros((1, 2)))[0] * S
@@ -83,6 +118,7 @@ def materialize_synthetic_building(
                 world,
                 cam_xy=cam_xy,
                 cam_h=cam_h,
+                ceil_h=floor_ceil_m,
                 seed=floor_seed,
                 world_R=np.asarray(pano.global_Sim2_local.rotation, dtype=np.float64)
                 @ synthetic_R_FIX,

@@ -17,25 +17,56 @@ def test_schema_parses_via_pano_data(building):
     assert len(fd.panos) >= 2
     for pano in fd.panos:
         assert pano.room_vertices_local_2d.shape[1] == 2
-        # Rectangular rooms: 4 vertices.
-        assert len(pano.room_vertices_local_2d) == 4
+        # Rectilinear rooms: rectangles or L-notched 6-gons.
+        assert len(pano.room_vertices_local_2d) in (4, 6)
 
 
 def test_world_geometry_roundtrip(building):
-    """Every pano's layout must land on a consistent world rectangle."""
+    """Every pano's layout must land on a consistent rectilinear world room."""
+    from salve_tpu.dataset.procedural import _point_in_poly
+
     fd = FloorData.from_json(building["merger"]["floor_01"], "floor_01")
     S = building["scale_meters_per_coordinate"]["floor_01"]
     for pano in fd.panos:
-        # World-normalized -> metric: axis-aligned rectangle up to eps.
+        # World-normalized -> metric: every edge axis-aligned up to eps.
         verts_w = pano.room_vertices_global_2d * S
-        xs, ys = np.sort(verts_w[:, 0]), np.sort(verts_w[:, 1])
-        assert np.allclose(xs[:2], xs[0], atol=1e-6)
-        assert np.allclose(xs[2:], xs[3], atol=1e-6)
-        assert np.allclose(ys[:2], ys[0], atol=1e-6)
-        assert np.allclose(ys[2:], ys[3], atol=1e-6)
-        # Camera strictly inside its room.
+        edges = np.roll(verts_w, -1, axis=0) - verts_w
+        assert np.all(np.min(np.abs(edges), axis=1) < 1e-6), (
+            "non-rectilinear world edges — transform convention broken"
+        )
+        # Camera strictly inside its room polygon.
         cam = pano.global_Sim2_local.transform_from(np.zeros((1, 2)))[0] * S
-        assert xs[0] < cam[0] < xs[3] and ys[0] < cam[1] < ys[3]
+        assert _point_in_poly(cam, verts_w)
+
+
+def test_v7_geometry_diversity():
+    """The generator spans real-ZInD-like variation (v7): notched rooms,
+    varied camera/ceiling heights across buildings, varied door widths."""
+    n_notched = 0
+    cam_heights, ceil_ratios, door_widths = [], [], []
+    for seed in range(8):
+        b = procedural.generate_building_json(seed=seed)
+        S = b["scale_meters_per_coordinate"]["floor_01"]
+        fd = FloorData.from_json(b["merger"]["floor_01"], "floor_01")
+        for pano in fd.panos:
+            if len(pano.room_vertices_local_2d) == 6:
+                n_notched += 1
+            cam_heights.append(pano.global_Sim2_local.scale * S)
+            for d in pano.doors:
+                door_widths.append(
+                    np.linalg.norm(np.asarray(d.pt2) - np.asarray(d.pt1))
+                    * pano.global_Sim2_local.scale * S
+                )
+        for complete in b["merger"]["floor_01"].values():
+            for partial in complete.values():
+                for p in partial.values():
+                    ceil_ratios.append(p["ceiling_height"])
+    assert n_notched >= 3, "no L-notched rooms generated"
+    assert np.ptp(cam_heights) > 0.15, "camera heights not varied"
+    assert min(ceil_ratios) >= 1.2 and np.ptp(ceil_ratios) > 0.2
+    assert np.ptp(door_widths) > 0.2, "door widths not varied"
+    # Fixture 1210's ego ceiling ratios are 1.58-2.53; stay inside.
+    assert 1.4 <= min(ceil_ratios) and max(ceil_ratios) <= 2.6
 
 
 def test_shared_doors_coincide_in_world_frame(building):
