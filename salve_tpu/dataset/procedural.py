@@ -122,7 +122,7 @@ def generate_building_json(
     rng = np.random.default_rng(seed)
     R = n_rows or int(rng.integers(2, 5))
     C = n_cols or int(rng.integers(2, 5))
-    while R * C > 12:  # cap the floor size (real tours average ~8 rooms/floor)
+    while R * C > 10:  # cap the floor size (real tours average ~8 rooms/floor)
         if R >= C:
             R -= 1
         else:
@@ -267,21 +267,17 @@ def generate_building_json(
                 continue
             span = float(np.linalg.norm(p1 - p0))
             win_w = float(rng.uniform(0.9, 1.8))
-            if span < win_w + 1.2 or rng.uniform() < 0.35:
+            # One window per exterior edge at most: Stage-A hypothesis count
+            # scales ~ pairs x wdo x wdo, and training cost scales with it.
+            if span < win_w + 1.2 or rng.uniform() < 0.5:
                 continue
             along = (p1 - p0) / span
-            n_win = 2 if span >= 2 * (win_w + 1.2) and rng.uniform() < 0.5 else 1
-            for k in range(n_win):
-                s_lo = 0.5 + win_w / 2 + k * span / n_win
-                s_hi = (k + 1) * span / n_win - 0.5 - win_w / 2
-                if s_hi <= s_lo:
-                    continue
-                u = rng.uniform(s_lo, s_hi)
-                center = p0 + along * u
-                a, b = _wall_segment(center, along, win_w / 2)
-                w_bot = float(rng.uniform(0.7, 1.0))
-                w_top = min(float(rng.uniform(1.75, 2.25)), ceil_m - 0.25)
-                wdos[(r, c)].append(("windows", a, b, w_bot, w_top))
+            u = rng.uniform(0.5 + win_w / 2, span - 0.5 - win_w / 2)
+            center = p0 + along * u
+            a, b = _wall_segment(center, along, win_w / 2)
+            w_bot = float(rng.uniform(0.7, 1.0))
+            w_top = min(float(rng.uniform(1.75, 2.25)), ceil_m - 0.25)
+            wdos[(r, c)].append(("windows", a, b, w_bot, w_top))
 
     # Panos: 1-3 per room, count scaled by room area.
     merger_floor: Dict[str, Dict] = {}
@@ -291,10 +287,11 @@ def generate_building_json(
         complete = f"complete_room_{k:02d}"
         merger_floor[complete] = {}
         area = _poly_area(poly)
+        # 1-2 panos per room (second more likely in big rooms): pano pairs
+        # grow quadratically in pano count, and with them rendering +
+        # training cost per building.
         n_panos = 1
-        if rng.uniform() < min(0.8, area / 20.0):
-            n_panos += 1
-        if rng.uniform() < min(0.4, area / 50.0):
+        if rng.uniform() < min(0.55, area / 28.0):
             n_panos += 1
         for j in range(n_panos):
             partial = f"partial_room_{k:02d}"
