@@ -74,21 +74,45 @@ def test_aligned_pairs_agree_misaligned_disagree(materialized_building):
     d1, r1 = load(i)
     d2, r2 = load(j)
 
-    # GT-exact relative pose in ego-normalized units: i2Ti1 = w2^-1 o w1.
-    rel = pg.nodes[j].global_Sim2_local.inverse().compose(
-        pg.nodes[i].global_Sim2_local
-    )
-    exact = Sim2(R=rel.rotation, t=rel.translation, s=1.0)
+    # GT-exact relative pose: i2Ti1 = w2^-1 o w1 is in pano-2 ego-normalized
+    # units (camera height = 1). The renderer converts hypothesis translations
+    # to the metric point cloud with the reference's FIXED 1.5 factor
+    # (HOHO_S_ZIND_SCALE_FACTOR, bev_rendering_utils.py:448 — an assumed
+    # 1.5 m camera height), so the metric-EXACT feed is t * h2 / 1.5.
+    # Production keeps the 1.5 approximation (parity: real ZInD camera
+    # heights vary 1.3-1.7 m and the reference misregisters them the same
+    # way); this test wants exact registration to lock the generator's frame
+    # convention, so it undoes the approximation.
+    w1s = pg.nodes[i].global_Sim2_local
+    w2s = pg.nodes[j].global_Sim2_local
+    rel = w2s.inverse().compose(w1s)
+    h2 = w2s.scale * pg.scale_meters_per_coordinate
+    t_exact = rel.translation * h2 / 1.5
+    exact = Sim2(R=rel.rotation, t=t_exact, s=1.0)
 
     a1, a2 = bev_pair.render_bev_pair(d1, r1, d2, r2, exact, "floor")
     aligned = _joint_diff(a1, a2)
 
-    # Misaligned control: same rotation, translation off by ~1 m world.
+    # The decisive registration lock: zero shift must be the photometric
+    # minimum over integer BEV shifts. The handedness bug this test guards
+    # against moved the minimum to a pose-dependent offset ~|t|.
+    def shifted_diff(dy, dx):
+        return _joint_diff(a1, np.roll(np.roll(a2, dy, axis=0), dx, axis=1))
+
+    for dy, dx in [(-4, 0), (4, 0), (0, -4), (0, 4), (4, 4), (-4, -4)]:
+        assert shifted_diff(dy, dx) > aligned, (
+            f"aligned pair not registered: shift ({dy},{dx}) improves "
+            f"jointdiff ({shifted_diff(dy, dx):.1f} < {aligned:.1f})"
+        )
+
+    # Misaligned control: same rotation, translation off by ~0.9 m world.
     wrong = Sim2(
-        R=rel.rotation, t=rel.translation + np.array([0.45, -0.3]), s=1.0
+        R=rel.rotation,
+        t=t_exact + np.array([0.45, -0.3]) * h2 / 1.5,
+        s=1.0,
     )
-    w1, w2 = bev_pair.render_bev_pair(d1, r1, d2, r2, wrong, "floor")
-    misaligned = _joint_diff(w1, w2)
+    m1, m2 = bev_pair.render_bev_pair(d1, r1, d2, r2, wrong, "floor")
+    misaligned = _joint_diff(m1, m2)
 
     # Aligned pairs sit near the noise floor (shading + sensor noise + JPEG);
     # misaligned pairs decorrelate on the world-anchored textures.
