@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 
 import click
 import flax
@@ -67,6 +68,9 @@ def run_train_depth(
         input_hw=hw,
     )
     step = depth_train.make_depth_train_step()
+
+    save_dir = os.path.dirname(os.path.abspath(model_save_fpath))
+    os.makedirs(save_dir, exist_ok=True)
 
     n_steps = 0
     done = False
