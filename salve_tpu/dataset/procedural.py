@@ -18,6 +18,20 @@ adjacent rooms' W/D/O lists at coincident world coordinates — exactly what
 Stage A aligns on), 1-2 windows per exterior wall, randomized camera and
 ceiling heights per building, and 1-3 panos per room at clearance-checked
 positions/headings.
+
+v8 additions (closing the residual held-out-recall gap the v7 run measured
+on real-geometry building 1210 — recall 0.64 at precision 0.73; the
+remaining failures concentrate in geometry patterns v7 never generates):
+  - corridor bands: one grid row/column squeezed to hallway width
+    (1.4-2.0 m) in ~1/3 of buildings — feature-sparse elongated rooms with
+    many doors, the hardest rooms in real tours;
+  - exterior doors (~30%/room): closet/entry doors on exterior walls that
+    lead nowhere — singleton W/D/Os that multiply Stage-A negative
+    door-to-door pairings exactly like real closets do;
+  - double L-notches: both eligible corners notched (8-vertex rectilinear
+    polygons) when a room is large enough;
+  - second door/opening on long (>=4.5 m) shared walls — multiple W/D/Os
+    between ONE room pair, the classic Stage-A disambiguation challenge.
 """
 
 from __future__ import annotations
@@ -106,6 +120,25 @@ def _sample_camera_xy(rng, poly) -> Tuple[float, float]:
     return float(best[0]), float(best[1])
 
 
+def _notch_corner(named_poly, corner: str, dx: float, dy: float):
+    """Cut an axis-aligned L-notch at a named corner of a CCW rectilinear
+    polygon given as [(name, (x, y)), ...]; the corner vertex is replaced by
+    three vertices tracing the notch (new vertices are unnamed)."""
+    repl = {
+        "BL": lambda x, y: [(x, y + dy), (x + dx, y + dy), (x + dx, y)],
+        "BR": lambda x, y: [(x - dx, y), (x - dx, y + dy), (x, y + dy)],
+        "TR": lambda x, y: [(x, y - dy), (x - dx, y - dy), (x - dx, y)],
+        "TL": lambda x, y: [(x + dx, y), (x + dx, y - dy), (x, y - dy)],
+    }[corner]
+    out = []
+    for name, (x, y) in named_poly:
+        if name == corner:
+            out.extend(("", pt) for pt in repl(x, y))
+        else:
+            out.append((name, (x, y)))
+    return out
+
+
 def _poly_area(poly) -> float:
     p = np.asarray(poly, dtype=float)
     x, y = p[:, 0], p[:, 1]
@@ -136,6 +169,14 @@ def generate_building_json(
     # Cell extents (shared walls): cumulative random sizes.
     widths = rng.uniform(2.4, 6.8, C)
     heights = rng.uniform(2.4, 6.2, R)
+    # v8: corridor band — squeeze one row (or column) to hallway width.
+    # Real tours route most doors through feature-sparse elongated halls;
+    # v7 never generated a room under 2.4 m across.
+    if rng.uniform() < 0.35:
+        if rng.uniform() < 0.5 and R >= 2:
+            heights[int(rng.integers(R))] = rng.uniform(1.4, 2.0)
+        elif C >= 2:
+            widths[int(rng.integers(C))] = rng.uniform(1.4, 2.0)
     xs = np.concatenate([[0.0], np.cumsum(widths)])
     ys = np.concatenate([[0.0], np.cumsum(heights)])
 
@@ -173,8 +214,11 @@ def generate_building_json(
 
     # Room polygons, CCW world-metric. Rooms with an exterior corner get an
     # L-notch with probability 0.45 (rectilinear 6-gons, like real homes);
-    # interior (shared) walls are never modified, so door coincidence and
-    # the grid contracts are preserved.
+    # a second eligible corner of a large room is notched with probability
+    # 0.4 (v8: 8-vertex rectilinear polygons). Interior (shared) walls are
+    # never modified, so door coincidence and the grid contracts are
+    # preserved; per-notch cuts are capped at 0.38 x the room extent so two
+    # notches can never meet along a shared side.
     rooms: Dict[Tuple[int, int], np.ndarray] = {}
     for r in range(R):
         for c in range(C):
@@ -182,7 +226,10 @@ def generate_building_json(
                 continue
             x0, x1, y0, y1 = xs[c], xs[c + 1], ys[r], ys[r + 1]
             w, h = x1 - x0, y1 - y0
-            poly = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            poly = [
+                ("BL", (x0, y0)), ("BR", (x1, y0)),
+                ("TR", (x1, y1)), ("TL", (x0, y1)),
+            ]
             left_ext = c == 0 or not present[r, c - 1]
             right_ext = c + 1 == C or not present[r, c + 1]
             bot_ext = r == 0 or not present[r - 1, c]
@@ -196,31 +243,16 @@ def generate_building_json(
                 corners.append("TR")
             if left_ext and top_ext:
                 corners.append("TL")
+            n_notch = 0
             if corners and w >= 2.9 and h >= 2.9 and rng.uniform() < 0.45:
-                corner = corners[int(rng.integers(len(corners)))]
-                dx = float(rng.uniform(0.7, 0.45 * w))
-                dy = float(rng.uniform(0.7, 0.45 * h))
-                if corner == "TR":
-                    poly = np.array(
-                        [[x0, y0], [x1, y0], [x1, y1 - dy], [x1 - dx, y1 - dy],
-                         [x1 - dx, y1], [x0, y1]]
-                    )
-                elif corner == "TL":
-                    poly = np.array(
-                        [[x0, y0], [x1, y0], [x1, y1], [x0 + dx, y1],
-                         [x0 + dx, y1 - dy], [x0, y1 - dy]]
-                    )
-                elif corner == "BL":
-                    poly = np.array(
-                        [[x0, y0 + dy], [x0 + dx, y0 + dy], [x0 + dx, y0],
-                         [x1, y0], [x1, y1], [x0, y1]]
-                    )
-                else:  # BR
-                    poly = np.array(
-                        [[x0, y0], [x1 - dx, y0], [x1 - dx, y0 + dy],
-                         [x1, y0 + dy], [x1, y1], [x0, y1]]
-                    )
-            rooms[(r, c)] = poly
+                n_notch = 1
+                if len(corners) >= 2 and w >= 4.0 and h >= 4.0 and rng.uniform() < 0.4:
+                    n_notch = 2
+            for corner in list(rng.permutation(corners))[:n_notch]:
+                dx = float(rng.uniform(0.7, 0.38 * w))
+                dy = float(rng.uniform(0.7, 0.38 * h))
+                poly = _notch_corner(poly, corner, dx, dy)
+            rooms[(r, c)] = np.array([pt for _, pt in poly])
 
     # W/D/Os per room, as (type, world endpoint a, world endpoint b, bz, tz)
     # in meters. Doors/openings live on shared interior walls and are
@@ -247,20 +279,35 @@ def generate_building_json(
                 if hi <= lo:
                     continue
             cu = rng.uniform(lo, hi)
+            placed = [(cu, width)]
+            # v8: a second door/opening on long shared walls — multiple
+            # W/D/Os between ONE room pair is the classic Stage-A
+            # disambiguation case (which of the two doors matches?).
+            if hi_w - lo_w >= 4.5 and rng.uniform() < 0.4:
+                w2 = float(rng.uniform(0.75, 1.15))
+                lo2, hi2 = lo_w + 0.5 + w2 / 2, hi_w - 0.5 - w2 / 2
+                for _ in range(12):
+                    cu2 = rng.uniform(lo2, hi2)
+                    if abs(cu2 - cu) >= (width + w2) / 2 + 0.3:
+                        placed.append((cu2, w2))
+                        break
             along = (0.0, 1.0) if axis == "v" else (1.0, 0.0)
-            center = (coord, cu) if axis == "v" else (cu, coord)
-            a, b = _wall_segment(center, along, width / 2)
-            kind = "openings" if is_opening else "doors"
-            top = (
-                min(2.4, ceil_m - 0.15)
-                if is_opening
-                else min(float(rng.uniform(1.95, 2.2)), ceil_m - 0.25)
-            )
-            wdos[(r, c)].append((kind, a, b, 0.0, top))
-            wdos[nbr].append((kind, a, b, 0.0, top))
+            for k_wdo, (cu_k, w_k) in enumerate(placed):
+                center = (coord, cu_k) if axis == "v" else (cu_k, coord)
+                a, b = _wall_segment(center, along, w_k / 2)
+                opening_k = is_opening and k_wdo == 0
+                kind = "openings" if opening_k else "doors"
+                top = (
+                    min(2.4, ceil_m - 0.15)
+                    if opening_k
+                    else min(float(rng.uniform(1.95, 2.2)), ceil_m - 0.25)
+                )
+                wdos[(r, c)].append((kind, a, b, 0.0, top))
+                wdos[nbr].append((kind, a, b, 0.0, top))
 
         # Windows on exterior polygon edges (1-2 per long edge).
         poly = rooms[(r, c)]
+        free_exterior_edges = []
         for i in range(len(poly)):
             p0, p1 = poly[i], poly[(i + 1) % len(poly)]
             if _edge_is_interior(p0, p1):
@@ -270,6 +317,8 @@ def generate_building_json(
             # One window per exterior edge at most: Stage-A hypothesis count
             # scales ~ pairs x wdo x wdo, and training cost scales with it.
             if span < win_w + 1.2 or rng.uniform() < 0.5:
+                if span >= 2.2:
+                    free_exterior_edges.append((p0, p1, span))
                 continue
             along = (p1 - p0) / span
             u = rng.uniform(0.5 + win_w / 2, span - 0.5 - win_w / 2)
@@ -278,6 +327,20 @@ def generate_building_json(
             w_bot = float(rng.uniform(0.7, 1.0))
             w_top = min(float(rng.uniform(1.75, 2.25)), ceil_m - 0.25)
             wdos[(r, c)].append(("windows", a, b, w_bot, w_top))
+
+        # v8: exterior door (closet / entry door that leads nowhere) on a
+        # window-free exterior edge. Singleton doors multiply the Stage-A
+        # negative door-to-door pairings exactly like real closets do.
+        if free_exterior_edges and rng.uniform() < 0.3:
+            p0, p1, span = free_exterior_edges[
+                int(rng.integers(len(free_exterior_edges)))
+            ]
+            d_w = float(rng.uniform(0.75, 1.1))
+            along = (p1 - p0) / span
+            u = rng.uniform(0.5 + d_w / 2, span - 0.5 - d_w / 2)
+            a, b = _wall_segment(p0 + along * u, along, d_w / 2)
+            top = min(float(rng.uniform(1.95, 2.2)), ceil_m - 0.25)
+            wdos[(r, c)].append(("doors", a, b, 0.0, top))
 
     # Panos: 1-3 per room, count scaled by room area.
     merger_floor: Dict[str, Dict] = {}

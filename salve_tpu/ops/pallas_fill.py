@@ -163,7 +163,7 @@ def fill_and_mask_batched(
         jnp.pad(jnp.ones((H, W), jnp.float32), pad2[1:])[None], (B, Hp, Wp)
     )
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         _fill_mask_kernel_batched,
         grid=(B, 3),
@@ -230,7 +230,7 @@ def fill_and_mask(
     mask_p = jnp.pad(mask, pad2)
     valid_p = jnp.pad(jnp.ones((H, W), jnp.float32), pad2)
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         _fill_mask_kernel,
         grid=(3,),

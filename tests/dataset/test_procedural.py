@@ -17,8 +17,8 @@ def test_schema_parses_via_pano_data(building):
     assert len(fd.panos) >= 2
     for pano in fd.panos:
         assert pano.room_vertices_local_2d.shape[1] == 2
-        # Rectilinear rooms: rectangles or L-notched 6-gons.
-        assert len(pano.room_vertices_local_2d) in (4, 6)
+        # Rectilinear rooms: rectangles, L-notched 6-gons, double-notched 8-gons.
+        assert len(pano.room_vertices_local_2d) in (4, 6, 8)
 
 
 def test_world_geometry_roundtrip(building):
@@ -67,6 +67,63 @@ def test_v7_geometry_diversity():
     assert np.ptp(door_widths) > 0.2, "door widths not varied"
     # Fixture 1210's ego ceiling ratios are 1.58-2.53; stay inside.
     assert 1.4 <= min(ceil_ratios) and max(ceil_ratios) <= 2.6
+
+
+def test_v8_geometry_diversity():
+    """v8 additions: corridor rooms, singleton exterior doors, double-notched
+    8-gons, and multiple doors on one shared wall all occur across seeds."""
+    n_corridor = n_8gon = n_singleton_doors = n_multi_wall = 0
+    for seed in range(24):
+        b = procedural.generate_building_json(seed=seed)
+        S = b["scale_meters_per_coordinate"]["floor_01"]
+        fd = FloorData.from_json(b["merger"]["floor_01"], "floor_01")
+        # Collect every door as a world-metric sorted segment per pano.
+        segs_by_pano = []
+        for pano in fd.panos:
+            scale = pano.global_Sim2_local.scale * S
+            verts_w = pano.room_vertices_global_2d * S
+            dims = verts_w.max(axis=0) - verts_w.min(axis=0)
+            if min(dims) < 2.1:
+                n_corridor += 1
+            if len(verts_w) == 8:
+                n_8gon += 1
+            segs = []
+            for d in pano.doors:
+                pts = pano.global_Sim2_local.transform_from(
+                    np.array([d.pt1, d.pt2])
+                ) * S
+                segs.append(np.round(np.sort(pts, axis=0), 4))
+            segs_by_pano.append((pano.id, segs))
+        from collections import Counter
+
+        # Count appearances of each distinct world door segment across panos:
+        # interior doors are duplicated into both rooms (every room has >= 1
+        # pano) so they appear >= 2x; a count of 1 can only be an exterior
+        # door in a single-pano room.
+        counts = Counter(
+            tuple(s.ravel()) for _, segs in segs_by_pano for s in segs
+        )
+        n_singleton_doors += sum(1 for n in counts.values() if n == 1)
+        # Two distinct doors on the same wall line (same fixed coordinate)
+        # => a multi-door shared wall.
+        for key in counts:
+            seg = np.array(key).reshape(2, 2)
+            axis_fixed = 0 if abs(seg[0, 0] - seg[1, 0]) < 1e-6 else 1
+            coord = seg[0, axis_fixed]
+            for k2 in counts:
+                if k2 == key:
+                    continue
+                o = np.array(k2).reshape(2, 2)
+                if (
+                    abs(o[0, axis_fixed] - coord) < 1e-6
+                    and abs(o[1, axis_fixed] - coord) < 1e-6
+                ):
+                    n_multi_wall += 1
+                    break
+    assert n_corridor >= 2, "no corridor rooms generated"
+    assert n_8gon >= 1, "no double-notched 8-gon rooms generated"
+    assert n_singleton_doors >= 2, "no singleton (exterior) doors generated"
+    assert n_multi_wall >= 2, "no multi-door shared walls generated"
 
 
 def test_shared_doors_coincide_in_world_frame(building):
