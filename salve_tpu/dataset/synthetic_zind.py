@@ -108,6 +108,19 @@ def materialize_synthetic_building(
             for i, p in pg.nodes.items()
         ]
         floor_ceil_m = float(np.median(ceils_m)) if ceils_m else None
+        # Resume by file existence (the same contract as the BEV renderer
+        # and depth cache, reference parity salve/utils/hohonet_inference.py
+        # cache reuse): a floor whose panos AND depth maps are all on disk
+        # is skipped. NOTE: depth maps are not re-derived — reuse an output
+        # root only with the same depth producer.
+        stems = [Path(p.image_path).stem for p in pg.nodes.values()]
+        done = all((bdir / "panos" / f"{s}.jpg").exists() for s in stems)
+        if done and depth_save_root is not None:
+            ddir = Path(depth_save_root) / building_id
+            done = all((ddir / f"{s}.depth.png").exists() for s in stems)
+        if done:
+            written[floor_id] = len(pg.nodes)
+            continue
         for i, pano in pg.nodes.items():
             cam_h = pg.get_camera_height_m(i)
             cam_xy = pano.global_Sim2_local.transform_from(np.zeros((1, 2)))[0] * S
