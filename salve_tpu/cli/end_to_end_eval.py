@@ -230,6 +230,8 @@ def run_end_to_end_eval(
                 "avg_abs_trans_err": _finite(r.avg_abs_trans_err),
                 "percent_panos_localized": _finite(r.percent_panos_localized),
                 "floorplan_iou": _finite(r.floorplan_iou),
+                "percent_in_top2_ccs": _finite(r.percent_in_top2_ccs),
+                "percent_in_top3_ccs": _finite(r.percent_in_top3_ccs),
             }
             for r in reports
         ],
@@ -275,6 +277,8 @@ def _run_stage_d_only(
                 "avg_abs_trans_err": _finite(r.avg_abs_trans_err),
                 "percent_panos_localized": _finite(r.percent_panos_localized),
                 "floorplan_iou": _finite(r.floorplan_iou),
+                "percent_in_top2_ccs": _finite(r.percent_in_top2_ccs),
+                "percent_in_top3_ccs": _finite(r.percent_in_top3_ccs),
             }
             for r in reports
         ],

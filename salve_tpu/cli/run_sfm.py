@@ -33,7 +33,7 @@ from salve_tpu.common.floor_reconstruction_report import (
 )
 from salve_tpu.common.posegraph2d import PoseGraph2d
 from salve_tpu.dataset import hnet_prediction_loader
-from salve_tpu.utils import axis_alignment, profiler
+from salve_tpu.utils import axis_alignment, graph_utils, profiler
 from salve_tpu.utils.io import save_json_file
 
 logger = logging.getLogger(__name__)
@@ -286,11 +286,25 @@ def run_incremental_reconstruction(
 
         est_floor_pose_graph = PoseGraph2d.from_wSi_list(wSi_list, gt_floor_pose_graph)
         with profiler.stage_timer("sfm/report"):
-            reports.append(
-                FloorReconstructionReport.from_est_floor_pose_graph(
-                    est_floor_pose_graph, gt_floor_pose_graph, plot_save_dir=plot_save_dir
-                )
+            report = FloorReconstructionReport.from_est_floor_pose_graph(
+                est_floor_pose_graph, gt_floor_pose_graph, plot_save_dir=plot_save_dir
             )
+            # Paper completeness metric (index.html:246): % of the floor's
+            # panos inside the top-2/3 connected components of the edge
+            # graph the aggregation method actually used (unlocalized panos
+            # count as singleton components).
+            _, cc_cdf = graph_utils.analyze_cc_distribution(
+                nodes=list(gt_floor_pose_graph.nodes.keys()),
+                edges=list(i2Si1_dict.keys()),
+            )
+            if len(cc_cdf):
+                report.percent_in_top2_ccs = 100.0 * float(
+                    cc_cdf[min(1, len(cc_cdf) - 1)]
+                )
+                report.percent_in_top3_ccs = 100.0 * float(
+                    cc_cdf[min(2, len(cc_cdf) - 1)]
+                )
+            reports.append(report)
 
     summary = summarize_reports(reports)
     for k, v in summary.items():

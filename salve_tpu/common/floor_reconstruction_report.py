@@ -35,6 +35,12 @@ class FloorReconstructionReport:
     floorplan_iou: Optional[float] = np.nan
     rotation_errors: Optional[np.ndarray] = None
     translation_errors: Optional[np.ndarray] = None
+    # The paper's completeness metric (index.html:246 — 81% / 89% of panos
+    # localized within the first 2 / 3 connected components on the test
+    # split): fraction of the floor's panos inside the top-k components of
+    # the high-confidence edge graph. Filled by cli/run_sfm.py.
+    percent_in_top2_ccs: float = np.nan
+    percent_in_top3_ccs: float = np.nan
 
     def __repr__(self) -> str:
         return (
@@ -249,6 +255,8 @@ def summarize_reports(reconstruction_reports: List[FloorReconstructionReport]) -
         "avg_abs_trans_err",
         "percent_panos_localized",
         "floorplan_iou",
+        "percent_in_top2_ccs",
+        "percent_in_top3_ccs",
     ]:
         vals = [getattr(r, error_metric) for r in reconstruction_reports]
         summary[f"mean_{error_metric}"] = float(np.nanmean(vals))

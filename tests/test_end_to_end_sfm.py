@@ -109,3 +109,11 @@ class TestEndToEndSfM:
         assert best.avg_abs_rot_err < 10.0
         assert best.percent_panos_localized > 50.0
         assert best.floorplan_iou > 0.3
+        # Paper completeness metric (index.html:246): top-k CC percentages
+        # are populated, ordered, and can only add panos beyond the
+        # spanning tree's single-component localization.
+        for r in reports:
+            if not np.isfinite(r.avg_abs_rot_err):
+                continue
+            assert 0.0 <= r.percent_in_top2_ccs <= r.percent_in_top3_ccs <= 100.0
+            assert r.percent_in_top2_ccs >= r.percent_panos_localized - 1e-6
