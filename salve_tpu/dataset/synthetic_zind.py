@@ -108,49 +108,70 @@ def materialize_synthetic_building(
             for i, p in pg.nodes.items()
         ]
         floor_ceil_m = float(np.median(ceils_m)) if ceils_m else None
-        # Resume by file existence (the same contract as the BEV renderer
-        # and depth cache, reference parity salve/utils/hohonet_inference.py
-        # cache reuse): a floor whose panos AND depth maps are all on disk
-        # is skipped. NOTE: depth maps are not re-derived — reuse an output
-        # root only with the same depth producer.
-        stems = [Path(p.image_path).stem for p in pg.nodes.values()]
-        done = all((bdir / "panos" / f"{s}.jpg").exists() for s in stems)
-        if done and depth_save_root is not None:
-            ddir = Path(depth_save_root) / building_id
-            done = all((ddir / f"{s}.depth.png").exists() for s in stems)
-        if done:
-            written[floor_id] = len(pg.nodes)
-            continue
+        # Resume by per-pano, per-artifact file existence (the same contract
+        # as the BEV renderer and depth cache; reference parity
+        # salve/utils/hohonet_inference.py, where panos and cached depth are
+        # independent artifacts): an existing pano skips the ray cast, an
+        # existing depth map skips depth derivation. A model depth_provider
+        # can fill a missing depth map from an already-written pano (its
+        # contract is RGB-in); GT depth requires the ray cast. NOTE: existing
+        # depth maps are never re-derived — reuse an output root only with
+        # the same depth producer.
         for i, pano in pg.nodes.items():
-            cam_h = pg.get_camera_height_m(i)
-            cam_xy = pano.global_Sim2_local.transform_from(np.zeros((1, 2)))[0] * S
-            # R_FIX post-multiply: synthetic panos follow the real-ZInD
-            # sphere-frame convention (rendering/synthetic.py:R_FIX), so the
-            # production backprojection's -90 deg ego fix is correct on them.
-            out = render_synthetic_pano_world(
-                world,
-                cam_xy=cam_xy,
-                cam_h=cam_h,
-                ceil_h=floor_ceil_m,
-                seed=floor_seed,
-                world_R=np.asarray(pano.global_Sim2_local.rotation, dtype=np.float64)
-                @ synthetic_R_FIX,
-            )
             stem = Path(pano.image_path).stem
-            imageio.imwrite(str(bdir / "panos" / f"{stem}.jpg"), out["rgb"], quality=95)
-            if depth_save_root is not None:
-                ddir = Path(depth_save_root) / building_id
-                ddir.mkdir(parents=True, exist_ok=True)
+            pano_fp = bdir / "panos" / f"{stem}.jpg"
+            depth_fp = (
+                Path(depth_save_root) / building_id / f"{stem}.depth.png"
+                if depth_save_root is not None
+                else None
+            )
+            need_pano = not pano_fp.exists()
+            need_depth = depth_fp is not None and not depth_fp.exists()
+            if not (need_pano or need_depth):
+                continue
+            # GT depth comes from the ray cast; a model provider only needs
+            # the RGB, which an existing pano already supplies.
+            need_raycast = need_pano or (need_depth and depth_provider is None)
+            out = None
+            if need_raycast:
+                cam_h = pg.get_camera_height_m(i)
+                cam_xy = (
+                    pano.global_Sim2_local.transform_from(np.zeros((1, 2)))[0] * S
+                )
+                # R_FIX post-multiply: synthetic panos follow the real-ZInD
+                # sphere-frame convention (rendering/synthetic.py:R_FIX), so
+                # the production backprojection's -90 deg ego fix is correct
+                # on them.
+                out = render_synthetic_pano_world(
+                    world,
+                    cam_xy=cam_xy,
+                    cam_h=cam_h,
+                    ceil_h=floor_ceil_m,
+                    seed=floor_seed,
+                    world_R=np.asarray(
+                        pano.global_Sim2_local.rotation, dtype=np.float64
+                    )
+                    @ synthetic_R_FIX,
+                )
+            if need_pano:
+                imageio.imwrite(str(pano_fp), out["rgb"], quality=95)
+            if need_depth:
+                depth_fp.parent.mkdir(parents=True, exist_ok=True)
                 if depth_provider is None:
                     depth_m = out["depth"]
                 else:
+                    rgb = (
+                        out["rgb"]
+                        if out is not None
+                        else imageio.imread(str(pano_fp))
+                    )
                     # Provider contract: RGB in [0,1] (depth/cache.py).
                     depth_m = np.asarray(
-                        depth_provider(out["rgb"].astype(np.float32) / 255.0)
+                        depth_provider(rgb.astype(np.float32) / 255.0)
                     )
                 depth_mm = np.clip(np.round(depth_m * 1000.0), 0, 65535).astype(
                     np.uint16
                 )
-                imageio.imwrite(str(ddir / f"{stem}.depth.png"), depth_mm)
+                imageio.imwrite(str(depth_fp), depth_mm)
         written[floor_id] = len(pg.nodes)
     return written

@@ -218,3 +218,59 @@ def test_materialize_procedural_building(tmp_path):
     panos = list((tmp_path / "raw" / "9997" / "panos").glob("*.jpg"))
     depths = list((tmp_path / "depth" / "9997").glob("*.depth.png"))
     assert len(panos) == len(depths) == floors["floor_01"]
+
+
+def test_materialize_resume_is_per_artifact(tmp_path):
+    """Per-pano/per-artifact resume: existing panos are untouched, a missing
+    depth map is refilled, and a model depth_provider fills depth from an
+    already-written pano without re-raycasting (reference parity: panos and
+    the hohonet depth cache are independent artifacts,
+    salve/utils/hohonet_inference.py)."""
+    from salve_tpu.dataset.synthetic_zind import materialize_synthetic_building
+
+    procedural.write_procedural_buildings(str(tmp_path / "zind"), ["9996"], base_seed=5)
+    materialize_synthetic_building(
+        str(tmp_path / "zind"), "9996", str(tmp_path / "raw"),
+        depth_save_root=str(tmp_path / "depth"),
+    )
+    panos = sorted((tmp_path / "raw" / "9996" / "panos").glob("*.jpg"))
+    depths = sorted((tmp_path / "depth" / "9996").glob("*.depth.png"))
+    assert panos and depths
+
+    # Full resume: nothing is rewritten.
+    mtimes = {p: p.stat().st_mtime_ns for p in panos + depths}
+    materialize_synthetic_building(
+        str(tmp_path / "zind"), "9996", str(tmp_path / "raw"),
+        depth_save_root=str(tmp_path / "depth"),
+    )
+    assert all(p.stat().st_mtime_ns == t for p, t in mtimes.items())
+
+    # A deleted GT depth map is re-derived; panos stay untouched.
+    depths[0].unlink()
+    materialize_synthetic_building(
+        str(tmp_path / "zind"), "9996", str(tmp_path / "raw"),
+        depth_save_root=str(tmp_path / "depth"),
+    )
+    assert depths[0].exists()
+    assert all(p.stat().st_mtime_ns == mtimes[p] for p in panos)
+
+    # A model provider fills a fresh depth root from the existing panos
+    # (RGB read back from disk — no ray cast needed).
+    calls = []
+
+    def provider(rgb):
+        calls.append(rgb.shape)
+        assert rgb.dtype == np.float32 and rgb.max() <= 1.0
+        return np.full(rgb.shape[:2], 2.5, dtype=np.float32)
+
+    materialize_synthetic_building(
+        str(tmp_path / "zind"), "9996", str(tmp_path / "raw"),
+        depth_save_root=str(tmp_path / "depth2"), depth_provider=provider,
+    )
+    assert len(calls) == len(panos)
+    assert all(p.stat().st_mtime_ns == mtimes[p] for p in panos)
+    d2 = sorted((tmp_path / "depth2" / "9996").glob("*.depth.png"))
+    assert len(d2) == len(panos)
+    import imageio.v2 as imageio
+
+    assert int(np.median(imageio.imread(str(d2[0])))) == 2500  # 2.5 m in mm
