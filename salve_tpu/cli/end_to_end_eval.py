@@ -179,6 +179,10 @@ def run_end_to_end_eval(
         class_balanced_loss=True,
         apply_photometric_augmentation=photometric_augmentation,
         append_pair_difference=append_pair_difference,
+        # Pin the requested train/eval buildings to their roles regardless of
+        # the official ZInD partition, so cross-validation flips (e.g.
+        # --train_building 1210 --eval_building 0000) actually flip.
+        split_overrides={train_building: "train", eval_building: "test"},
     )
     t0 = time.time()
     results = train_loop.train(cfg)

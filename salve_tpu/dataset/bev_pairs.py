@@ -101,9 +101,16 @@ def make_dataset(split: str, data_root: str, args: TrainingConfig) -> List[Tuple
 
     data_list: List[Tuple] = []
     available = get_available_building_ids(f"{data_root}/gt_alignment_approx")
-    split_building_ids = sorted(
-        set(DATASET_SPLITS[split]).intersection(available), key=int
-    )
+    members = set(DATASET_SPLITS[split]).intersection(available)
+    if args.split_overrides:
+        # Reassign overridden buildings: drop the ones moved out of this
+        # split, pull in the ones moved into it (config.py:split_overrides).
+        members = {b for b in members if args.split_overrides.get(b, split) == split}
+        members |= {
+            b for b, s in args.split_overrides.items()
+            if s == split and b in available
+        }
+    split_building_ids = sorted(members, key=int)
 
     for label_name, label_idx in LABEL_DICT.items():
         for building_id in split_building_ids:

@@ -8,7 +8,7 @@ Defaults follow the best released model's config
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 
 @dataclass
@@ -53,6 +53,11 @@ class TrainingConfig:
     # (models/early_fusion.py). Incompatible with converted reference
     # checkpoints (plain-stem shapes); used by from-scratch training.
     append_pair_difference: bool = False
+    # Per-building split reassignment, {building_id: "train"|"val"|"test"}.
+    # Overrides the official ZInD partition (dataset/zind_partition.py) for
+    # cross-validation experiments (e.g. hold out a train-split building).
+    # None/absent building ids keep their official split.
+    split_overrides: Optional[Dict[str, str]] = None
 
 
 def load_training_config(yaml_fpath: str) -> TrainingConfig:

@@ -81,3 +81,41 @@ class TestMakeDataset:
         imgs, labels_arr, tuples = ds.load_batch([0, 1])
         assert imgs.shape == (2, 4, 16, 16, 3)
         assert set(labels_arr.tolist()) == {0, 1}
+
+    def test_split_overrides(self, tmp_path) -> None:
+        """split_overrides reassigns buildings across splits (cross-validation
+        flips, config.py:split_overrides); unlisted buildings keep the
+        official partition."""
+        import cv2
+
+        from salve_tpu.dataset.zind_partition import DATASET_SPLITS
+
+        b_train = sorted(DATASET_SPLITS["train"])[0]  # officially train
+        b_test = sorted(DATASET_SPLITS["test"])[0]  # officially test
+        for b in [b_train, b_test]:
+            d = tmp_path / "gt_alignment_approx" / b
+            d.mkdir(parents=True)
+            for surface in ["ceiling", "floor"]:
+                for pano in [1, 2]:
+                    fp = d / f"pair_0___door_0_0_identity_{surface}_rgb_floor_01_pano_{pano}.jpg"
+                    cv2.imwrite(str(fp), np.zeros((8, 8, 3), np.uint8))
+
+        # No overrides: official partition applies.
+        cfg = TrainingConfig()
+        assert len(bev_pairs.make_dataset("train", str(tmp_path), cfg)) == 1
+        assert len(bev_pairs.make_dataset("test", str(tmp_path), cfg)) == 1
+
+        # Flip: the train building becomes test and vice versa.
+        cfg = TrainingConfig(
+            split_overrides={b_train: "test", b_test: "train"}
+        )
+        train_list = bev_pairs.make_dataset("train", str(tmp_path), cfg)
+        test_list = bev_pairs.make_dataset("test", str(tmp_path), cfg)
+        assert len(train_list) == len(test_list) == 1
+        assert f"/{b_test}/" in train_list[0][0]
+        assert f"/{b_train}/" in test_list[0][0]
+
+        # One-sided override: the other building keeps its official split.
+        cfg = TrainingConfig(split_overrides={b_train: "test"})
+        assert len(bev_pairs.make_dataset("train", str(tmp_path), cfg)) == 0
+        assert len(bev_pairs.make_dataset("test", str(tmp_path), cfg)) == 2
