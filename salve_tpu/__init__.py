@@ -22,3 +22,34 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """Point XLA at an on-disk compilation cache (off: SALVE_TPU_NO_CACHE=1).
+
+    Every CLI is a fresh process, and big graphs (ResNet-152 train step)
+    take minutes to compile; the persistent cache makes repeat invocations
+    (pipeline stages, sweeps, bench re-runs) skip compilation entirely.
+    Cache keys hash the HLO, so stale entries cannot produce wrong results.
+    """
+    import os
+
+    if os.environ.get("SALVE_TPU_NO_CACHE"):
+        return
+    cache_dir = os.environ.get(
+        "SALVE_TPU_COMPILATION_CACHE",
+        os.path.expanduser("~/.cache/salve_tpu/xla"),
+    )
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache even fast compiles: tunnel dispatch latency dwarfs the
+        # cache-hit cost, and small kernels recompile in every process.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compilation_cache()
