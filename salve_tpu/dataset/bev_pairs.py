@@ -141,6 +141,13 @@ class BEVPairDataset:
         self.data_list = make_dataset(split, data_root or args.data_root, args)
         self.n_imgs = len(self.data_list[0]) - 1 if self.data_list else 0
         self._pool = ThreadPoolExecutor(max_workers=workers)
+        # In-RAM decoded-image cache, enabled when the whole resized corpus
+        # fits the configured budget (config.py:decoded_cache_gb).
+        cache_gb = getattr(args, "decoded_cache_gb", 0.0) or 0.0
+        est_bytes = (
+            len(self.data_list) * self.n_imgs * args.resize_h * args.resize_w * 3
+        )
+        self._cache = {} if 0 < est_bytes <= cache_gb * 1e9 else None
 
     def __len__(self) -> int:
         return len(self.data_list)
@@ -164,18 +171,33 @@ class BEVPairDataset:
         """Returns (imgs (B,N,H,W,3) f32, labels (B,) i32, tuples).
 
         Uses the native C++ libjpeg thread-pool loader when available
-        (salve_tpu.native), falling back to cv2 in Python threads.
+        (salve_tpu.native), falling back to cv2 in Python threads. When the
+        decoded corpus fits TrainingConfig.decoded_cache_gb, resized uint8
+        stacks are kept in RAM keyed by dataset index, so every epoch after
+        the first skips disk and JPEG decode entirely (decode is the
+        single-host training bottleneck; the device step is faster than one
+        batch of cv2 decodes).
         """
         tuples = [self.data_list[i] for i in indices]
         labels = np.array([t[-1] for t in tuples], dtype=np.int32)
 
+        if self._cache is None:
+            return self._load_tuples(tuples), labels, tuples
+        miss = [i for i in indices if i not in self._cache]
+        if miss:
+            loaded = self._load_tuples([self.data_list[i] for i in miss])
+            for j, i in enumerate(miss):
+                self._cache[i] = loaded[j]
+        imgs = np.stack([self._cache[i] for i in indices])
+        return imgs, labels, tuples
+
+    def _load_tuples(self, tuples: List[Tuple]) -> np.ndarray:
+        """Decode + resize each tuple's images: (len(tuples),N,H,W,3) u8."""
         native_imgs = self._load_batch_native(tuples)
         if native_imgs is not None:
-            return native_imgs, labels, tuples
-
+            return native_imgs
         results = list(self._pool.map(self._load_one, tuples))
-        imgs = np.stack([r[0] for r in results])
-        return imgs, labels, tuples
+        return np.stack([r[0] for r in results])
 
     def _load_batch_native(self, tuples: List[Tuple]) -> "np.ndarray | None":
         """Flat batched decode via the native loader; None if unavailable."""

@@ -53,6 +53,10 @@ class TrainingConfig:
     # (models/early_fusion.py). Incompatible with converted reference
     # checkpoints (plain-stem shapes); used by from-scratch training.
     append_pair_difference: bool = False
+    # RAM budget for the decoded-image dataset cache (dataset/bev_pairs.py):
+    # when the resized uint8 corpus fits, epochs after the first skip disk
+    # and JPEG decode. 0 disables. Oversized corpora auto-disable.
+    decoded_cache_gb: float = 8.0
     # Per-building split reassignment, {building_id: "train"|"val"|"test"}.
     # Overrides the official ZInD partition (dataset/zind_partition.py) for
     # cross-validation experiments (e.g. hold out a train-split building).

@@ -82,6 +82,38 @@ class TestMakeDataset:
         assert imgs.shape == (2, 4, 16, 16, 3)
         assert set(labels_arr.tolist()) == {0, 1}
 
+    def test_decoded_cache(self, tmp_path) -> None:
+        """The in-RAM decoded cache serves repeat epochs without re-decoding
+        and is bit-identical to the uncached path; a zero budget disables it."""
+        import cv2
+
+        from salve_tpu.dataset.zind_partition import DATASET_SPLITS
+
+        b = sorted(DATASET_SPLITS["train"])[0]
+        d = tmp_path / "gt_alignment_approx" / b
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for pair in range(3):
+            for surface in ["ceiling", "floor"]:
+                for pano in [1, 2]:
+                    fp = d / f"pair_{pair}___door_0_0_identity_{surface}_rgb_floor_01_pano_{pano}.jpg"
+                    cv2.imwrite(str(fp), rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+
+        cfg = TrainingConfig(resize_h=16, resize_w=16, decoded_cache_gb=1.0)
+        ds = bev_pairs.BEVPairDataset("train", cfg, data_root=str(tmp_path), workers=2)
+        assert ds._cache is not None
+        imgs1, labels1, _ = ds.load_batch([0, 2, 1])
+        assert set(ds._cache) == {0, 1, 2}
+        imgs2, labels2, _ = ds.load_batch([0, 2, 1])
+        np.testing.assert_array_equal(imgs1, imgs2)
+        np.testing.assert_array_equal(labels1, labels2)
+
+        cfg0 = TrainingConfig(resize_h=16, resize_w=16, decoded_cache_gb=0.0)
+        ds0 = bev_pairs.BEVPairDataset("train", cfg0, data_root=str(tmp_path), workers=2)
+        assert ds0._cache is None
+        imgs0, _, _ = ds0.load_batch([0, 2, 1])
+        np.testing.assert_array_equal(imgs0, imgs1)
+
     def test_split_overrides(self, tmp_path) -> None:
         """split_overrides reassigns buildings across splits (cross-validation
         flips, config.py:split_overrides); unlisted buildings keep the
