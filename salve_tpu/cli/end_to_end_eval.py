@@ -140,13 +140,17 @@ def run_end_to_end_eval(
         logger.info("materialized %s: %s", bid, floors)
 
         t0 = time.time()
-        export_single_building_wdo_alignment_hypotheses(
-            hypotheses_save_root=str(hyp_root),
-            building_id=bid,
-            json_annot_fpath=str(raw_dir / bid / "zind_data.json"),
-            raw_dataset_dir=str(raw_dir),
-            use_inferred_wdos_layout=False,
-        )
+        # Resume contract (same as depth cache / renders): a building whose
+        # hypothesis JSONs are already on disk is not re-exported, so a
+        # restarted run skips straight to the first incomplete stage.
+        if not any(Path(hyp_root, bid).rglob("*.json")):
+            export_single_building_wdo_alignment_hypotheses(
+                hypotheses_save_root=str(hyp_root),
+                building_id=bid,
+                json_annot_fpath=str(raw_dir / bid / "zind_data.json"),
+                raw_dataset_dir=str(raw_dir),
+                use_inferred_wdos_layout=False,
+            )
         timings[f"stage_a_{bid}_s"] = round(time.time() - t0, 2)
 
         t0 = time.time()
