@@ -126,6 +126,75 @@ def test_v8_geometry_diversity():
     assert n_multi_wall >= 2, "no multi-door shared walls generated"
 
 
+def test_v9_geometry_diversity():
+    """v9 additions: opening-heavy connectivity, multi-pano hub rooms with
+    spread-out cameras, and door+opening combinations on one shared wall —
+    the two v8 held-out failure modes (ACCURACY_r02.json error_analysis)."""
+    from collections import Counter
+
+    n_openings = n_doors = 0
+    n_hub_rooms = 0
+    hub_spreads = []
+    n_door_plus_opening_wall = 0
+    for seed in range(24):
+        b = procedural.generate_building_json(seed=seed)
+        S = b["scale_meters_per_coordinate"]["floor_01"]
+        fd = FloorData.from_json(b["merger"]["floor_01"], "floor_01")
+        panos_per_room = Counter()
+        cams_by_room: dict = {}
+        wall_kinds: dict = {}
+        for complete in b["merger"]["floor_01"].values():
+            for partial_key, partial in complete.items():
+                panos_per_room[partial_key] = len(partial)
+        for pano in fd.panos:
+            cam_w = pano.global_Sim2_local.transform_from(
+                np.zeros((1, 2))
+            )[0] * S
+            key = tuple(
+                np.round(
+                    pano.room_vertices_global_2d.min(axis=0), 3
+                ).tolist()
+            )
+            cams_by_room.setdefault(key, []).append(cam_w)
+            for kind, wdo_list in (
+                ("doors", pano.doors), ("openings", pano.openings)
+            ):
+                for d in wdo_list:
+                    pts = pano.global_Sim2_local.transform_from(
+                        np.array([d.pt1, d.pt2])
+                    ) * S
+                    seg = np.round(np.sort(pts, axis=0), 3)
+                    ax = 0 if abs(seg[0, 0] - seg[1, 0]) < 1e-6 else 1
+                    wall = (ax, round(float(seg[0, ax]), 3))
+                    wall_kinds.setdefault(wall, set()).add(
+                        (kind, tuple(seg.ravel()))
+                    )
+                    if kind == "openings":
+                        n_openings += 1
+                    else:
+                        n_doors += 1
+        for n in panos_per_room.values():
+            if n >= 3:
+                n_hub_rooms += 1
+        for cams in cams_by_room.values():
+            if len(cams) >= 3:
+                c = np.asarray(cams)
+                d = np.linalg.norm(c[:, None] - c[None, :], axis=-1)
+                hub_spreads.append(float(d.max()))
+        for wall, entries in wall_kinds.items():
+            kinds = {k for k, _ in entries}
+            segs = {s for _, s in entries}
+            if kinds == {"doors", "openings"} and len(segs) >= 2:
+                n_door_plus_opening_wall += 1
+    assert n_hub_rooms >= 4, "no multi-pano hub rooms generated"
+    assert n_openings >= 0.18 * (n_openings + n_doors), (
+        f"openings too rare: {n_openings} vs {n_doors} doors"
+    )
+    assert n_door_plus_opening_wall >= 1, "no door+opening shared wall"
+    # Spread placement: hub cameras span real distance, not one cluster.
+    assert hub_spreads and max(hub_spreads) > 2.0, hub_spreads
+
+
 def test_shared_doors_coincide_in_world_frame(building):
     """A door between two rooms appears in both panos at the same world spot.
 
