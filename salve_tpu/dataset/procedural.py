@@ -520,10 +520,24 @@ def write_procedural_buildings(
     out_zind_dir: str, building_ids: List[str], base_seed: int = 0
 ) -> None:
     """Write zind_data.json for each building id (geometry only; pair with
-    dataset/synthetic_zind.py to materialize imagery + depth)."""
+    dataset/synthetic_zind.py to materialize imagery + depth).
+
+    Resume contract (same as every other producer in the pipeline): an id
+    whose zind_data.json already exists is NEVER rewritten. The generator
+    evolves between corpus versions (v7 -> v8 -> v9 change the rng
+    consumption for a given seed), while materialized panos/depth/BEVs on
+    disk were rendered from the geometry as it existed at write time —
+    regenerating the JSON under newer code would silently mismatch every
+    downstream artifact and corrupt the GT labels. Skipping also lets one
+    output dir accumulate a mixed-version corpus incrementally (e.g. add
+    v9 buildings under fresh ids beside an existing v8 set).
+    """
     for bid in building_ids:
         bdir = Path(out_zind_dir) / bid
+        out_fpath = bdir / "zind_data.json"
+        if out_fpath.exists():
+            continue
         bdir.mkdir(parents=True, exist_ok=True)
         data = generate_building_json(seed=base_seed * 99991 + int(bid))
-        with open(bdir / "zind_data.json", "w") as f:
+        with open(out_fpath, "w") as f:
             json.dump(data, f)

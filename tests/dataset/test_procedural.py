@@ -195,6 +195,25 @@ def test_v9_geometry_diversity():
     assert hub_spreads and max(hub_spreads) > 2.0, hub_spreads
 
 
+def test_write_procedural_buildings_never_rewrites(tmp_path):
+    """Resume contract: an existing zind_data.json is never regenerated —
+    the generator's rng consumption changes across corpus versions, and a
+    rewrite would silently mismatch every materialized artifact on disk."""
+    import hashlib
+
+    procedural.write_procedural_buildings(str(tmp_path), ["0005"], base_seed=7)
+    fpath = tmp_path / "0005" / "zind_data.json"
+    h1 = hashlib.md5(fpath.read_bytes()).hexdigest()
+    # A different base_seed would produce different content if regenerated.
+    procedural.write_procedural_buildings(str(tmp_path), ["0005"], base_seed=99)
+    assert hashlib.md5(fpath.read_bytes()).hexdigest() == h1
+    # New ids beside existing ones are still written.
+    procedural.write_procedural_buildings(
+        str(tmp_path), ["0005", "0006"], base_seed=7
+    )
+    assert (tmp_path / "0006" / "zind_data.json").exists()
+
+
 def test_shared_doors_coincide_in_world_frame(building):
     """A door between two rooms appears in both panos at the same world spot.
 
