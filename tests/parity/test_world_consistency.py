@@ -38,17 +38,34 @@ def materialized_building(tmp_path_factory):
 
 
 def _same_room_pair(pg):
-    """Two pano ids sharing a room (nearest camera pair is a safe proxy)."""
+    """Two pano ids sharing a room.
+
+    Each camera must sit inside the OTHER pano's room polygon (world frame) —
+    the v9 generator's spread placement makes "nearest camera pair" an unsafe
+    proxy (two panos through a wall can be closer than any same-room pair).
+    Among true same-room pairs, pick the closest for maximal joint support.
+    """
+    from salve_tpu.geometry.polygons import points_in_polygon
+
     ids = sorted(pg.nodes)
     cams = {
         i: pg.nodes[i].global_Sim2_local.transform_from(np.zeros((1, 2)))[0]
         for i in ids
     }
-    best = min(
-        ((a, b) for a in ids for b in ids if a < b),
+    rooms = {i: pg.nodes[i].room_vertices_global_2d for i in ids}
+
+    def same_room(a, b):
+        return bool(
+            points_in_polygon(rooms[a], cams[b][None])[0]
+            and points_in_polygon(rooms[b], cams[a][None])[0]
+        )
+
+    candidates = [(a, b) for a in ids for b in ids if a < b and same_room(a, b)]
+    assert candidates, "no same-room pano pair in the materialized building"
+    return min(
+        candidates,
         key=lambda ab: np.linalg.norm(cams[ab[0]] - cams[ab[1]]),
     )
-    return best
 
 
 def _joint_diff(img_a, img_b):
@@ -74,11 +91,15 @@ def test_aligned_pairs_agree_misaligned_disagree(materialized_building):
     d1, r1 = load(i)
     d2, r2 = load(j)
 
-    # GT-exact relative pose: i2Ti1 = w2^-1 o w1 is in pano-2 ego-normalized
-    # units (camera height = 1). The renderer converts hypothesis translations
-    # to the metric point cloud with the reference's FIXED 1.5 factor
+    # GT-exact relative pose: rel = w2^-1 o w1 maps pano-1 LOCAL coords to
+    # pano-2 LOCAL coords, x_l2 = s_rel (R x_l1 + t_rel) with s_rel = s1/s2.
+    # In METRIC coords (X_i = h_i * x_li, h_i = scale_i * m-per-coord) that
+    # collapses to X2 = R X1 + h1 * t_rel — the metric translation carries
+    # PANO-1's camera height, not pano 2's (the h2 factors cancel through
+    # s_rel). The renderer converts hypothesis translations to the metric
+    # point cloud with the reference's FIXED 1.5 factor
     # (HOHO_S_ZIND_SCALE_FACTOR, bev_rendering_utils.py:448 — an assumed
-    # 1.5 m camera height), so the metric-EXACT feed is t * h2 / 1.5.
+    # 1.5 m camera height), so the metric-EXACT feed is t_rel * h1 / 1.5.
     # Production keeps the 1.5 approximation (parity: real ZInD camera
     # heights vary 1.3-1.7 m and the reference misregisters them the same
     # way); this test wants exact registration to lock the generator's frame
@@ -86,8 +107,8 @@ def test_aligned_pairs_agree_misaligned_disagree(materialized_building):
     w1s = pg.nodes[i].global_Sim2_local
     w2s = pg.nodes[j].global_Sim2_local
     rel = w2s.inverse().compose(w1s)
-    h2 = w2s.scale * pg.scale_meters_per_coordinate
-    t_exact = rel.translation * h2 / 1.5
+    h1 = w1s.scale * pg.scale_meters_per_coordinate
+    t_exact = rel.translation * h1 / 1.5
     exact = Sim2(R=rel.rotation, t=t_exact, s=1.0)
 
     a1, a2 = bev_pair.render_bev_pair(d1, r1, d2, r2, exact, "floor")
@@ -108,7 +129,7 @@ def test_aligned_pairs_agree_misaligned_disagree(materialized_building):
     # Misaligned control: same rotation, translation off by ~0.9 m world.
     wrong = Sim2(
         R=rel.rotation,
-        t=t_exact + np.array([0.45, -0.3]) * h2 / 1.5,
+        t=t_exact + np.array([0.45, -0.3]) * h1 / 1.5,
         s=1.0,
     )
     m1, m2 = bev_pair.render_bev_pair(d1, r1, d2, r2, wrong, "floor")
