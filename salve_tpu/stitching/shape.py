@@ -226,6 +226,59 @@ def refine_predicted_shape(
     return shape_fused_by_cluster, fused_polygons
 
 
+def iou_between_polygon_sets(
+    polys_a: List[np.ndarray],
+    polys_b: List[np.ndarray],
+    resolution: float = 0.02,
+) -> Dict[str, float]:
+    """Raster IoU between the unions of two polygon sets on a shared grid.
+
+    GEOS-free replacement for the reference's Shapely
+    ``poly_gt_union.intersection(floor_shape_fused_poly)`` stitch-score
+    arithmetic (scripts/stitch_floor_plan.py:228-233). Areas are in squared
+    world units (pixel count x resolution^2).
+    """
+    all_pts = np.vstack([np.asarray(r) for r in polys_a + polys_b])
+    mins = all_pts.min(axis=0) - resolution
+    maxs = all_pts.max(axis=0) + resolution
+    nx_ = min(max(int(np.ceil((maxs[0] - mins[0]) / resolution)), 1), 4000)
+    ny_ = min(max(int(np.ceil((maxs[1] - mins[1]) / resolution)), 1), 4000)
+    sx = (maxs[0] - mins[0]) / nx_
+    sy = (maxs[1] - mins[1]) / ny_
+    xs = mins[0] + (np.arange(nx_) + 0.5) * sx
+    ys = mins[1] + (np.arange(ny_) + 0.5) * sy
+
+    def _union_mask(polys: List[np.ndarray]) -> np.ndarray:
+        mask = np.zeros((ny_, nx_), dtype=bool)
+        for ring in polys:
+            ring = np.asarray(ring)
+            # Evaluate containment only inside the ring's bbox rows/cols.
+            c0, c1 = np.searchsorted(xs, [ring[:, 0].min(), ring[:, 0].max()])
+            r0, r1 = np.searchsorted(ys, [ring[:, 1].min(), ring[:, 1].max()])
+            c1, r1 = min(c1 + 1, nx_), min(r1 + 1, ny_)
+            if c0 >= c1 or r0 >= r1:
+                continue
+            sub = np.stack(
+                np.meshgrid(xs[c0:c1], ys[r0:r1]), axis=-1
+            ).reshape(-1, 2)
+            mask[r0:r1, c0:c1] |= points_in_polygon(ring, sub).reshape(
+                r1 - r0, c1 - c0
+            )
+        return mask
+
+    mask_a, mask_b = _union_mask(polys_a), _union_mask(polys_b)
+    px_area = sx * sy
+    inter = float(np.logical_and(mask_a, mask_b).sum()) * px_area
+    union = float(np.logical_or(mask_a, mask_b).sum()) * px_area
+    return {
+        "iou": inter / union if union > 0 else 0.0,
+        "area_a": float(mask_a.sum()) * px_area,
+        "area_b": float(mask_b.sum()) * px_area,
+        "area_intersection": inter,
+        "area_union": union,
+    }
+
+
 def rasterize_polygons_union(
     polygons: List[np.ndarray], resolution: float = 0.02
 ) -> Tuple[np.ndarray, np.ndarray]:
