@@ -42,9 +42,16 @@ def run_batch_hohonet_inference(
     logging.basicConfig(level=logging.INFO)
     if model_ckpt:
         from salve_tpu.depth.cache import register_depth_model
-        from salve_tpu.models.depth_net import load_depth_provider
 
-        register_depth_model(load_depth_provider(model_ckpt, model_num_layers))
+        if model_ckpt.endswith(".pth"):
+            # A real HoHoNet torch checkpoint (download_monodepth_model.sh).
+            from salve_tpu.models.hohonet import load_hohonet_depth_provider
+
+            register_depth_model(load_hohonet_depth_provider(model_ckpt))
+        else:
+            from salve_tpu.models.depth_net import load_depth_provider
+
+            register_depth_model(load_depth_provider(model_ckpt, model_num_layers))
     building_ids = [building_id] if building_id else sorted(DATASET_SPLITS[split])
 
     num_ok, num_missing = 0, 0
