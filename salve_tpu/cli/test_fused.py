@@ -188,10 +188,13 @@ def score_building_fused(
               help="Render pano 1 per hypothesis as a Sim(2) NN warp of an "
                    "extended identity bank (ops/warp.py) instead of a fresh "
                    "splat; drift measured in tests/parity/test_warp_drift.py.")
+@click.option("--append_pair_difference", is_flag=True, default=False,
+              help="Checkpoint was trained with explicit per-pair difference "
+                   "channels (models/early_fusion.py) — must match to load.")
 def run_test_fused(
     hypotheses_save_root, raw_dataset_dir, depth_save_root, ckpt_fpath,
     serialization_save_dir, building_id, num_layers, resize_px, crop_px,
-    batch_size, mesh_devices, use_warp_renders,
+    batch_size, mesh_devices, use_warp_renders, append_pair_difference,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     import jax
@@ -205,6 +208,7 @@ def run_test_fused(
         resize_h=resize_px, resize_w=resize_px,
         train_h=crop_px, train_w=crop_px,
         batch_size=batch_size,
+        append_pair_difference=append_pair_difference,
     )
     state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=1)
     state = train_lib.load_model_checkpoint(ckpt_fpath, state)
