@@ -268,6 +268,187 @@ def bench_fused_render_verify(
     return batch_size / dt
 
 
+def bench_verifier_train_step(reps: int = 4) -> dict:
+    """Reference-recipe Stage C training step: RN152 / 224px crops / bs256.
+
+    Loads the reference's actual best-model hydra config
+    (salve/configs/1200ffbe47d836557d88fef052952337.yaml: ResNet-152,
+    234->224 crops, ceiling+floor RGB, batch 256, adam + poly LR) and times
+    the jitted train step on device-resident data. Steps serialize through
+    the donated train state; the final loss fetch is the barrier.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from salve_tpu.training import train as train_lib
+    from salve_tpu.training.config import load_training_config
+
+    ref_yaml = (
+        "/root/reference/salve/configs/1200ffbe47d836557d88fef052952337.yaml"
+    )
+    try:
+        cfg = load_training_config(ref_yaml)
+    except FileNotFoundError:
+        from salve_tpu.training.config import TrainingConfig
+
+        cfg = TrainingConfig(
+            num_layers=152, batch_size=256, resize_h=234, resize_w=234,
+            train_h=224, train_w=224,
+            modalities=("ceiling_rgb_texture", "floor_rgb_texture"),
+        )
+
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=1000)
+    step = train_lib.make_train_step(cfg)
+
+    rng = np.random.default_rng(0)
+    n_imgs = 2 * len(cfg.modalities)  # one image per pano per modality
+    imgs = jnp.asarray(
+        rng.integers(
+            0, 255, (cfg.batch_size, n_imgs, cfg.resize_h, cfg.resize_w, 3)
+        ).astype(np.float32)
+    )
+    labels = jnp.asarray(rng.integers(0, 2, (cfg.batch_size,)).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    flops = None
+    try:
+        cost = step.lower(state, imgs, labels, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    state, metrics = step(state, imgs, labels, key)  # compile + warmup
+    float(metrics["loss"])
+
+    t0 = time.time()
+    for i in range(reps):
+        state, metrics = step(state, imgs, labels, jax.random.fold_in(key, i))
+    float(metrics["loss"])  # fetch barrier; steps chain through state
+    dt = (time.time() - t0) / reps
+
+    out = {
+        "step_s": round(dt, 3),
+        "pairs_per_sec": round(cfg.batch_size / dt, 1),
+    }
+    if flops:
+        # v5 lite peak ~197 TFLOP/s bf16.
+        out["est_mfu_vs_v5e_peak"] = round(flops / dt / 197e12, 3)
+        out["step_tflops"] = round(flops / 1e12, 2)
+    return out
+
+
+def bench_end_to_end_building() -> dict:
+    """Full Stage A->D wall-clock on fixture building 0000 (BASELINE.md's
+    north-star unit of work: one building through hypotheses -> renders ->
+    verifier inference -> SLAM -> report).
+
+    Imagery is ray-cast from the real fixture geometry with GT-raycast
+    depth; the verifier is a random-init ResNet-152 (inference cost is
+    weight-independent), and Stage D runs on oracle-labeled predictions so
+    the SLAM/report load matches a working verifier's positive-edge volume.
+    """
+    import glob as glob_mod
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bench_e2e_building_")
+    stage: dict = {}
+    try:
+        import jax
+
+        from salve_tpu.common import posegraph2d
+        from salve_tpu.dataset.synthetic_zind import materialize_synthetic_building
+        from salve_tpu.hypotheses.export import (
+            export_single_building_wdo_alignment_hypotheses,
+        )
+        from salve_tpu.rendering.dataset_renderer import render_building_floor_pairs
+        from salve_tpu.training import loop as train_loop
+        from salve_tpu.training import train as train_lib
+        from salve_tpu.training.config import TrainingConfig
+
+        bid, src = "0000", "/root/reference/tests/test_data/ZInD"
+        raw_dir, depth_root = f"{out}/zind", f"{out}/depth"
+        hyp_root, bev_root, preds_dir = (
+            f"{out}/hypotheses", f"{out}/bev", f"{out}/preds",
+        )
+
+        t_total = time.time()
+        t0 = time.time()
+        materialize_synthetic_building(src, bid, raw_dir, depth_save_root=depth_root)
+        stage["materialize_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        export_single_building_wdo_alignment_hypotheses(
+            hypotheses_save_root=hyp_root,
+            building_id=bid,
+            json_annot_fpath=f"{raw_dir}/{bid}/zind_data.json",
+            raw_dataset_dir=raw_dir,
+            use_inferred_wdos_layout=False,
+        )
+        stage["stage_a_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        n_pairs = 0
+        for floor_id in posegraph2d.compute_available_floors_for_building(bid, raw_dir):
+            n_pairs += render_building_floor_pairs(
+                depth_save_root=depth_root,
+                bev_save_root=bev_root,
+                hypotheses_save_root=hyp_root,
+                raw_dataset_dir=raw_dir,
+                building_id=bid,
+                floor_id=floor_id,
+            )
+        stage["stage_b_s"] = round(time.time() - t0, 2)
+        stage["n_pairs"] = n_pairs
+
+        cfg = TrainingConfig(
+            num_layers=152,
+            batch_size=64,
+            workers=4,
+            data_root=bev_root,
+            model_save_dirpath=f"{out}/ckpts",
+            split_overrides={bid: "test"},
+        )
+        state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=1)
+        ckpt_fpath = train_lib.save_checkpoint(f"{out}/ckpts", state, 0, 0.0, cfg)
+        t0 = time.time()
+        train_loop.evaluate(cfg, ckpt_fpath, "test", preds_dir)
+        stage["stage_c_infer_s"] = round(time.time() - t0, 2)
+
+        # Oracle-label the serialized predictions (y_hat=y_true, p=0.99) so
+        # Stage D sees a working verifier's edge volume.
+        for fpath in glob_mod.glob(f"{preds_dir}/batch_*.json"):
+            with open(fpath) as f:
+                rec = json.load(f)
+            rec["y_hat"] = rec["y_true"]
+            rec["y_hat_probs"] = [0.99] * len(rec["y_true"])
+            with open(fpath, "w") as f:
+                json.dump(rec, f)
+
+        from salve_tpu.cli.run_sfm import run_incremental_reconstruction
+
+        t0 = time.time()
+        reports = run_incremental_reconstruction(
+            hypotheses_save_root=hyp_root,
+            serialized_preds_json_dir=preds_dir,
+            raw_dataset_dir=raw_dir,
+            method="pose2_slam",
+            confidence_threshold=0.93,
+            use_axis_alignment=False,
+            allowed_wdo_types=["door", "window", "opening"],
+            predictions_data_root=None,
+            plot_save_dir=f"{out}/plots",
+        )
+        stage["stage_d_s"] = round(time.time() - t0, 2)
+        stage["n_floors"] = len(reports)
+        stage["end_to_end_building_sec"] = round(time.time() - t_total, 2)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return stage
+
+
 def main() -> None:
     depths, rgbs = make_synthetic_pano_bank(num_panos=8)
     # Best of two trials: the test-harness tunnel adds 0.2-0.5 s latency per
@@ -278,12 +459,15 @@ def main() -> None:
     verifier_pairs_per_sec = bench_verifier()
     fused_hyp_per_sec = bench_fused_render_verify()
     fused_warp_hyp_per_sec = bench_fused_render_verify(use_warp=True)
+    train_step = bench_verifier_train_step()
+    e2e = bench_end_to_end_building()
     print(
         json.dumps(
             {
                 "metric": "bev_pair_renders_per_sec_per_chip",
                 "value": round(tpu_pairs_per_sec, 2),
                 "unit": "pairs/s",
+                # vs ONE reference host process rendering the same pairs.
                 "vs_baseline": round(tpu_pairs_per_sec / ref_pairs_per_sec, 2),
                 "submetrics": {
                     "verifier_pairs_per_sec_bs256_rn152": round(
@@ -298,6 +482,18 @@ def main() -> None:
                     "host_reference_render_pairs_per_sec": round(
                         ref_pairs_per_sec, 3
                     ),
+                    # BASELINE.md's >=10x target counts the reference's 30
+                    # CPU worker processes, not one (README.md:104): one
+                    # chip vs 30 host processes, and a v5e-8 (x8 chips,
+                    # renders are embarrassingly parallel across buildings).
+                    "vs_baseline_30proc_1chip": round(
+                        tpu_pairs_per_sec / (30 * ref_pairs_per_sec), 2
+                    ),
+                    "vs_baseline_30proc_8chips": round(
+                        8 * tpu_pairs_per_sec / (30 * ref_pairs_per_sec), 2
+                    ),
+                    "verifier_train_step_bs256_rn152": train_step,
+                    "end_to_end_building": e2e,
                 },
             }
         )
