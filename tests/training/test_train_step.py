@@ -1,6 +1,7 @@
 """Tests for the pjit train/eval steps: overfit a tiny synthetic task."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -126,6 +127,52 @@ class TestOrbaxCheckpoint:
             jax.tree_util.tree_leaves(restored.params),
         ):
             assert np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_orbax_full_state_resume_equivalence(self, tmp_path) -> None:
+        """Mid-training orbax resume restores params, batch_stats, adam
+        moments, AND step — and training continues identically (same depth
+        of coverage as the msgpack path)."""
+        cfg = tiny_config()
+        rng = np.random.default_rng(0)
+        n_imgs = 2 * len(cfg.modalities)
+        imgs = jnp.asarray(
+            rng.integers(
+                0, 255, (2, n_imgs, cfg.resize_h, cfg.resize_w, 3)
+            ).astype(np.float32)
+        )
+        labels = jnp.asarray(np.array([0, 1], np.int32))
+        step_fn = train_lib.make_train_step(cfg)
+
+        state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=10)
+        for i in range(2):  # non-trivial adam moments + BN stats
+            state, _ = step_fn(state, imgs, labels, jax.random.PRNGKey(i))
+        ckpt = train_lib.save_checkpoint(
+            str(tmp_path), state, epoch=2, val_mAcc=0.5, cfg=cfg, format="orbax"
+        )
+
+        fresh = train_lib.create_train_state(cfg, jax.random.PRNGKey(9), max_iter=10)
+        restored = train_lib.load_model_checkpoint(ckpt, fresh)
+
+        assert int(restored.step) == int(state.step)
+        for tree_a, tree_b in (
+            (state.params, restored.params),
+            (state.batch_stats, restored.batch_stats),
+            (state.opt_state, restored.opt_state),
+        ):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(tree_a), jax.tree_util.tree_leaves(tree_b)
+            ):
+                assert np.allclose(np.asarray(a), np.asarray(b)), "state leaf diverged"
+
+        # One more step from each must agree (same rng, same data).
+        state2, m_orig = step_fn(state, imgs, labels, jax.random.PRNGKey(42))
+        restored2, m_rest = step_fn(restored, imgs, labels, jax.random.PRNGKey(42))
+        assert np.allclose(float(m_orig["loss"]), float(m_rest["loss"]), atol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state2.params),
+            jax.tree_util.tree_leaves(restored2.params),
+        ):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 class TestPolySchedule:
