@@ -52,7 +52,7 @@ def score_building_fused(
     mesh=None,
     start_batch_idx: int = 0,
     render_cfg=None,
-    use_warp_renders: bool = False,
+    use_warp_renders=None,
 ) -> int:
     """Score every hypothesis of one building; write batch_{i}.json files.
 
@@ -184,10 +184,12 @@ def score_building_fused(
 @click.option("--batch_size", type=int, default=32)
 @click.option("--mesh_devices", type=int, default=0,
               help="Shard batches over an N-device mesh (0 = single device).")
-@click.option("--use_warp_renders", is_flag=True, default=False,
+@click.option("--use_warp_renders/--no_warp_renders", default=None,
               help="Render pano 1 per hypothesis as a Sim(2) NN warp of an "
                    "extended identity bank (ops/warp.py) instead of a fresh "
-                   "splat; drift measured in tests/parity/test_warp_drift.py.")
+                   "splat; drift measured in tests/parity/test_warp_drift.py. "
+                   "Default: on for TPU backends, off elsewhere "
+                   "(A/B: ACCURACY_r03.json warp_ab).")
 @click.option("--append_pair_difference", is_flag=True, default=False,
               help="Checkpoint was trained with explicit per-pair difference "
                    "channels (models/early_fusion.py) — must match to load.")

@@ -170,3 +170,21 @@ class TestFusedInference:
         bad_cfg = TrainingConfig(modalities=("floor_rgb_texture",))
         with pytest.raises(ValueError):
             make_fused_score_fn(state, bad_cfg, render_cfg)
+
+
+class TestWarpDefault:
+    def test_resolves_by_backend(self, monkeypatch) -> None:
+        import jax
+
+        from salve_tpu.pipeline import fused_inference as fi
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.delenv("SALVE_TPU_DISABLE_WARP", raising=False)
+        assert fi.resolve_warp_default() is True
+
+        monkeypatch.setenv("SALVE_TPU_DISABLE_WARP", "1")
+        assert fi.resolve_warp_default() is False
+
+        monkeypatch.delenv("SALVE_TPU_DISABLE_WARP")
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert fi.resolve_warp_default() is False
