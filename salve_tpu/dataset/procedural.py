@@ -47,6 +47,19 @@ two modes, see ACCURACY_r02.json error_analysis):
   - spread placement: panos after the first maximize distance from the
     already-placed ones (0.35 m wall clearance), producing far/oblique
     views of the connecting W/D/O instead of always room-centered ones.
+
+v10 additions (targeting the v9 error analysis on held-out 1210 — recall
+0.78 at precision 0.83; the surviving false negatives are door/rotated
+pairs seen from FAR positions, concentrated around multi-pano hub rooms,
+ACCURACY_r03.json error_analysis):
+  - far-from-door placement: panos repel the room's door/opening midpoints
+    (half the time for later panos, 35% for first panos) instead of only
+    repelling each other — the lost edges are views where the connecting
+    door sits at maximum distance/obliquity, which v9 only produced
+    incidentally;
+  - hub rooms more often (0.6 -> 0.85 at a lower 11 m^2 area gate) with the
+    4th pano more likely — more same-room and cross-room far pairs per
+    building.
 """
 
 from __future__ import annotations
@@ -407,8 +420,10 @@ def generate_building_json(
     areas = {rc: _poly_area(p) for rc, p in rooms.items()}
     hub_rc = max(areas, key=areas.get)
     hub_panos = 0
-    if areas[hub_rc] >= 13.0 and rng.uniform() < 0.6:
-        hub_panos = 3 + int(areas[hub_rc] >= 22.0 and rng.uniform() < 0.5)
+    # v10: more hub rooms (0.6 -> 0.85, area gate 13 -> 11 m^2), 4th pano
+    # more likely — the v9 residual FNs all touch multi-pano rooms.
+    if areas[hub_rc] >= 11.0 and rng.uniform() < 0.85:
+        hub_panos = 3 + int(areas[hub_rc] >= 18.0 and rng.uniform() < 0.6)
     for k, ((r, c), poly) in enumerate(sorted(rooms.items())):
         complete = f"complete_room_{k:02d}"
         merger_floor[complete] = {}
@@ -422,12 +437,23 @@ def generate_building_json(
             n_panos = 1
             if rng.uniform() < min(0.55, area / 28.0):
                 n_panos += 1
+        # v10: door/opening midpoints as repulsors — the v9 residual FNs are
+        # door pairs seen from maximum distance/obliquity, which pure
+        # pano-pano spreading only produces incidentally.
+        wdo_mids = [
+            tuple((np.asarray(a) + np.asarray(b)) / 2.0)
+            for kind, a, b, _, _ in wdos[(r, c)]
+            if kind in ("doors", "openings")
+        ]
         placed_xy: List[Tuple[float, float]] = []
         for j in range(n_panos):
             partial = f"partial_room_{k:02d}"
             pano_key = f"pano_{pano_id}"
+            repel: List[Tuple[float, float]] = list(placed_xy) if j > 0 else []
+            if wdo_mids and rng.uniform() < (0.5 if j > 0 else 0.35):
+                repel = repel + wdo_mids
             cx, cy = _sample_camera_xy(
-                rng, poly, spread_from=placed_xy if j > 0 else None
+                rng, poly, spread_from=repel if repel else None
             )
             placed_xy.append((cx, cy))
             theta = float(rng.uniform(0.0, 360.0))
