@@ -459,8 +459,16 @@ def main() -> None:
     verifier_pairs_per_sec = bench_verifier()
     fused_hyp_per_sec = bench_fused_render_verify()
     fused_warp_hyp_per_sec = bench_fused_render_verify(use_warp=True)
-    train_step = bench_verifier_train_step()
-    e2e = bench_end_to_end_building()
+    # The heavyweight submetrics degrade to an error string rather than
+    # killing the headline JSON line.
+    try:
+        train_step = bench_verifier_train_step()
+    except Exception as e:  # pragma: no cover - defensive
+        train_step = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        e2e = bench_end_to_end_building()
+    except Exception as e:  # pragma: no cover - defensive
+        e2e = {"error": f"{type(e).__name__}: {e}"}
     print(
         json.dumps(
             {
