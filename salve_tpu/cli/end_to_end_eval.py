@@ -65,6 +65,10 @@ def _finite(x):
               help="Checkpoint to restore params/opt_state from before "
                    "training (training/loop.py resume_from) — continue an "
                    "interrupted Stage-C run without retraining from scratch.")
+@click.option("--finetune_ckpt", type=str, default=None,
+              help="Checkpoint to restore params/batch_stats ONLY (fresh "
+                   "optimizer + LR schedule) — short follow-on training "
+                   "over a grown corpus (training/loop.py finetune_from).")
 @click.option("--stage_d_only", is_flag=True, default=False,
               help="Reuse an existing output_dir (hypotheses + serialized "
                    "preds from a prior full run) and re-run only Stage D — "
@@ -75,7 +79,7 @@ def run_end_to_end_eval(
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
     confidence_threshold, method, procedural_train_buildings,
     procedural_val_buildings, photometric_augmentation, append_pair_difference,
-    resume_ckpt, stage_d_only,
+    resume_ckpt, finetune_ckpt, stage_d_only,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     t_start = time.time()
@@ -193,7 +197,9 @@ def run_end_to_end_eval(
         split_overrides={train_building: "train", eval_building: "test"},
     )
     t0 = time.time()
-    results = train_loop.train(cfg, resume_from=resume_ckpt)
+    results = train_loop.train(
+        cfg, resume_from=resume_ckpt, finetune_from=finetune_ckpt
+    )
     timings["stage_c_train_s"] = round(time.time() - t0, 2)
 
     ckpts = sorted(glob.glob(str(out / "ckpts" / "*" / "train_ckpt.flax")))

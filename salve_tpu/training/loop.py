@@ -103,12 +103,16 @@ def train(
     seed: int = 0,
     max_batches_per_epoch: Optional[int] = None,
     resume_from: Optional[str] = None,
+    finetune_from: Optional[str] = None,
 ) -> Dict[str, List[float]]:
     """Full training run (parity: scripts/train.py:40-116).
 
     resume_from restores params/batch_stats/opt_state from a checkpoint
     before the loop (the reference kept this hook commented out,
-    scripts/train.py:54-58; implemented here).
+    scripts/train.py:54-58; implemented here) — for continuing the SAME
+    run. finetune_from restores params/batch_stats only (fresh optimizer +
+    LR schedule) — for short follow-on training over a grown corpus, where
+    a full restore would start past the poly-LR horizon at lr=0.
 
     Returns the accumulated results dict (train_/val_ prefixed metrics).
     """
@@ -127,6 +131,11 @@ def train(
     if resume_from is not None:
         state = train_lib.load_model_checkpoint(resume_from, state)
         logger.info("Resumed training state from %s", resume_from)
+    elif finetune_from is not None:
+        state = train_lib.load_model_checkpoint(
+            finetune_from, state, params_only=True
+        )
+        logger.info("Fine-tuning from %s (fresh optimizer)", finetune_from)
 
     with mesh:
         state = replicate(mesh, state)

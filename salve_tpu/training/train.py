@@ -212,13 +212,21 @@ def save_checkpoint(
     return ckpt_fpath
 
 
-def load_model_checkpoint(ckpt_fpath: str, state: TrainState) -> TrainState:
+def load_model_checkpoint(
+    ckpt_fpath: str, state: TrainState, params_only: bool = False
+) -> TrainState:
     """Restore params/batch_stats/opt_state into a freshly-created state.
 
     Accepts a .flax msgpack file, an orbax checkpoint directory, or a
     reference torch ``.pth``/``.pt`` checkpoint (the 7 released SALVe
     verifier weights, reference README.md:195-203) — the latter is
     converted via models.torch_weights with a fresh optimizer state.
+
+    params_only restores only params + batch_stats, keeping the fresh
+    optimizer state and step 0 — the fine-tune entry point. A completed
+    run's checkpoint carries step >= the new run's poly-LR horizon, so a
+    FULL restore into a shorter run would clamp the learning rate to 0 and
+    train nothing; fine-tuning must restart the schedule.
     """
     if ckpt_fpath.endswith((".pth", ".pt")):
         from salve_tpu.models.torch_weights import load_reference_checkpoint
@@ -242,6 +250,10 @@ def load_model_checkpoint(ckpt_fpath: str, state: TrainState) -> TrainState:
     else:
         with open(ckpt_fpath, "rb") as f:
             payload = flax.serialization.from_bytes(template, f.read())
+    if params_only:
+        return state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"]
+        )
     return state.replace(
         params=payload["params"],
         batch_stats=payload["batch_stats"],

@@ -175,6 +175,39 @@ class TestOrbaxCheckpoint:
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+class TestFinetuneRestore:
+    def test_params_only_restore_keeps_fresh_optimizer(self, tmp_path) -> None:
+        """params_only restores weights but NOT step/opt moments — a full
+        restore of a finished run into a shorter one would start past the
+        poly-LR horizon at lr=0 and train nothing."""
+        cfg = tiny_config()
+        rng = np.random.default_rng(0)
+        n_imgs = 2 * len(cfg.modalities)
+        imgs = jnp.asarray(
+            rng.integers(0, 255, (2, n_imgs, cfg.resize_h, cfg.resize_w, 3)).astype(
+                np.float32
+            )
+        )
+        labels = jnp.asarray(np.array([0, 1], np.int32))
+        step_fn = train_lib.make_train_step(cfg)
+        state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), max_iter=10)
+        state, _ = step_fn(state, imgs, labels, jax.random.PRNGKey(0))
+        assert int(state.step) == 1
+        ckpt = train_lib.save_checkpoint(str(tmp_path), state, 1, 0.5, cfg)
+
+        fresh = train_lib.create_train_state(cfg, jax.random.PRNGKey(9), max_iter=10)
+        tuned = train_lib.load_model_checkpoint(ckpt, fresh, params_only=True)
+        assert int(tuned.step) == 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(tuned.params),
+        ):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+        # Adam moments stay zeroed (fresh), unlike the full restore.
+        mu_leaves = jax.tree_util.tree_leaves(tuned.opt_state)
+        assert any(np.allclose(np.asarray(l), 0.0) for l in mu_leaves)
+
+
 class TestPolySchedule:
     def test_matches_reference_formula(self) -> None:
         cfg = tiny_config(base_lr=0.01, poly_lr_power=0.9)
