@@ -217,6 +217,11 @@ def _render_layout_pairs(
     building_layout_save_dir = f"{layout_save_root}/{label_type}/{building_id}"
     os.makedirs(building_layout_save_dir, exist_ok=True)
 
+    # Gather the per-pair layout jobs host-side, render them all in batched
+    # device dispatches (rendering/layout.py:rasterize_layout_batch) — the
+    # naive two-dispatches-per-pair path is dispatch-latency-bound at
+    # dataset scale.
+    jobs, out_fpaths = [], []
     count = 0
     for pair_idx, pair_fpath in enumerate(pair_fpaths):
         i1, i2, pair_uuid = _parse_pair_fpath(pair_fpath)
@@ -235,12 +240,17 @@ def _render_layout_pairs(
         if Path(out1).exists() and Path(out2).exists():
             continue
         i2Ti1 = Sim2.from_json(pair_fpath)
-        img1, img2 = layout_render.rasterize_room_layout_pair(
+        job1, job2 = layout_render.layout_pair_inputs(
             i2Ti1, floor_pose_graph.nodes[i1], floor_pose_graph.nodes[i2]
         )
-        imageio.imwrite(out1, img1)
-        imageio.imwrite(out2, img2)
+        jobs += [job1, job2]
+        out_fpaths += [out1, out2]
         count += 1
+
+    if jobs:
+        imgs = layout_render.rasterize_layout_batch(jobs)
+        for fpath, img in zip(out_fpaths, imgs):
+            imageio.imwrite(fpath, img)
     return count
 
 

@@ -133,6 +133,82 @@ def rasterize_single_layout(
     return np.clip(np.round(np.asarray(img)), 0, 255).astype(np.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("img_px", "meters_per_px"))
+def rasterize_layout_batch_device(
+    room_verts: jnp.ndarray,
+    num_room_verts: jnp.ndarray,
+    wdo_segments: jnp.ndarray,
+    wdo_colors: jnp.ndarray,
+    num_wdos: jnp.ndarray,
+    img_px: int = bev_ops.DEFAULT_BEV_IMG_PX,
+    meters_per_px: float = bev_ops.DEFAULT_METERS_PER_PX,
+) -> jnp.ndarray:
+    """vmap of rasterize_layout_device over a leading batch axis (B, ...)."""
+    fn = functools.partial(
+        rasterize_layout_device, img_px=img_px, meters_per_px=meters_per_px
+    )
+    return jax.vmap(fn)(room_verts, num_room_verts, wdo_segments, wdo_colors, num_wdos)
+
+
+def rasterize_layout_batch(
+    layouts: List[Tuple[np.ndarray, List]],
+    img_px: int = bev_ops.DEFAULT_BEV_IMG_PX,
+    meters_per_px: float = bev_ops.DEFAULT_METERS_PER_PX,
+    chunk: int = 64,
+) -> np.ndarray:
+    """Host wrapper: render many layouts in fixed-size device dispatches.
+
+    Args:
+        layouts: list of (room_vertices (V,2), wdo_objs) — same per-layout
+            inputs as rasterize_single_layout.
+
+    Returns:
+        (N, img_px+1, img_px+1, 3) uint8.
+
+    Dataset-scale layout rendering is dispatch-bound (two device calls per
+    hypothesis pair in the naive path); one batched call renders `chunk`
+    layouts per dispatch. Short batches are padded by repeating layout 0
+    so every dispatch reuses one compiled program.
+    """
+    if not layouts:
+        return np.zeros((0, img_px + 1, img_px + 1, 3), dtype=np.uint8)
+    max_verts = max([MAX_ROOM_VERTS] + [rv.shape[0] for rv, _ in layouts])
+    max_wdos = max([MAX_WDOS] + [len(w) for _, w in layouts])
+
+    out = np.zeros((len(layouts), img_px + 1, img_px + 1, 3), dtype=np.uint8)
+    for start in range(0, len(layouts), chunk):
+        batch = layouts[start : start + chunk]
+        n_real = len(batch)
+        while len(batch) < chunk:
+            batch.append(layouts[0])
+        padded = [_pad_layout(rv, w, max_verts, max_wdos) for rv, w in batch]
+        imgs = rasterize_layout_batch_device(
+            jnp.asarray(np.stack([p[0] for p in padded])),
+            jnp.asarray(np.array([p[1] for p in padded], dtype=np.int32)),
+            jnp.asarray(np.stack([p[2] for p in padded])),
+            jnp.asarray(np.stack([p[3] for p in padded])),
+            jnp.asarray(np.array([p[4] for p in padded], dtype=np.int32)),
+            img_px,
+            meters_per_px,
+        )
+        imgs = np.clip(np.round(np.asarray(imgs[:n_real])), 0, 255).astype(np.uint8)
+        out[start : start + n_real] = imgs
+    return out
+
+
+def layout_pair_inputs(
+    i2Ti1: Sim2, pano1: PanoData, pano2: PanoData
+) -> Tuple[Tuple[np.ndarray, List], Tuple[np.ndarray, List]]:
+    """The two (room_vertices, wdos) layout jobs of a hypothesis pair.
+
+    Pano 1's geometry is moved through i2Ti1 into pano 2's frame
+    (bev_rendering_utils.py:48); pano 2's is used as-is.
+    """
+    i1_verts = i2Ti1.transform_from(pano1.room_vertices_local_2d)
+    i1_wdos = [w.transform_from(i2Ti1) for w in pano1.all_wdos]
+    return (i1_verts, i1_wdos), (pano2.room_vertices_local_2d, pano2.all_wdos)
+
+
 def rasterize_room_layout_pair(
     i2Ti1: Sim2, pano1: PanoData, pano2: PanoData
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -141,9 +217,7 @@ def rasterize_room_layout_pair(
     Parity: bev_rendering_utils.py:48 — pano 1's room polygon and W/D/Os are
     moved through i2Ti1; pano 2's are already in frame i2.
     """
-    i1_verts = i2Ti1.transform_from(pano1.room_vertices_local_2d)
-    i1_wdos = [w.transform_from(i2Ti1) for w in pano1.all_wdos]
-    img1 = rasterize_single_layout(i1_verts, i1_wdos)
-
-    img2 = rasterize_single_layout(pano2.room_vertices_local_2d, pano2.all_wdos)
+    job1, job2 = layout_pair_inputs(i2Ti1, pano1, pano2)
+    img1 = rasterize_single_layout(*job1)
+    img2 = rasterize_single_layout(*job2)
     return img1, img2

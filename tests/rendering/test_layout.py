@@ -48,6 +48,58 @@ class TestRasterizeSingleLayout:
         assert ys.max() < 250
 
 
+class TestRasterizeLayoutBatch:
+    def test_batch_matches_single(self) -> None:
+        """The chunked batch path must be pixel-identical to per-layout calls."""
+        rooms = [
+            np.array([[-2.0, -2], [2, -2], [2, 2], [-2, 2]]),
+            np.array([[-1.0, 0.0], [3, 0], [3, 1.5], [-1, 1.5], [-1.0, 0.5]]),
+            np.array([[0.0, 0.0], [2, 0], [1, 2]]),
+        ]
+        wdos = [
+            [
+                WDO(
+                    global_Sim2_local=Sim2.identity(),
+                    pt1=(2.0, -0.5),
+                    pt2=(2.0, 0.5),
+                    bottom_z=0,
+                    top_z=2,
+                    type="doors",
+                )
+            ],
+            [
+                WDO(
+                    global_Sim2_local=Sim2.identity(),
+                    pt1=(-1.0, 0.2),
+                    pt2=(-1.0, 1.0),
+                    bottom_z=0,
+                    top_z=2,
+                    type="windows",
+                ),
+                WDO(
+                    global_Sim2_local=Sim2.identity(),
+                    pt1=(0.5, 0.0),
+                    pt2=(1.5, 0.0),
+                    bottom_z=0,
+                    top_z=2,
+                    type="openings",
+                ),
+            ],
+            [],
+        ]
+        jobs = list(zip(rooms, wdos))
+        # chunk=2 forces both a full and a padded (ragged) dispatch.
+        batch = layout.rasterize_layout_batch(jobs, chunk=2)
+        assert batch.shape == (3, 501, 501, 3)
+        for i, (rv, w) in enumerate(jobs):
+            single = layout.rasterize_single_layout(rv, w)
+            np.testing.assert_array_equal(batch[i], single)
+
+    def test_empty(self) -> None:
+        out = layout.rasterize_layout_batch([])
+        assert out.shape == (0, 501, 501, 3)
+
+
 class TestRenderBEVPairSmoke:
     def test_synthetic_pair(self) -> None:
         h, w = 64, 128
