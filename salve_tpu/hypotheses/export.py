@@ -19,6 +19,7 @@ roughly the time the reference spends marshalling into GTSAM).
 from __future__ import annotations
 
 import concurrent.futures as cf
+import functools
 from collections import defaultdict
 from typing import Dict, List, Optional
 
@@ -197,23 +198,39 @@ def export_alignment_hypotheses_to_json(
     mhnet_predictions_data_root: Optional[str],
     building_ids: Optional[List[str]] = None,
 ) -> None:
-    """Export hypotheses for all buildings of a split (thread pool over buildings)."""
+    """Export hypotheses for all buildings of a split (process pool over buildings)."""
     if building_ids is None:
         building_ids = sorted(DATASET_SPLITS[dataset_split])
 
-    def run(building_id: str) -> None:
-        export_single_building_wdo_alignment_hypotheses(
-            hypotheses_save_root=hypotheses_save_root,
-            building_id=building_id,
-            json_annot_fpath=f"{raw_dataset_dir}/{building_id}/zind_data.json",
-            raw_dataset_dir=raw_dataset_dir,
-            use_inferred_wdos_layout=use_inferred_wdos_layout,
-            mhnet_predictions_data_root=mhnet_predictions_data_root,
-        )
-
+    run = functools.partial(
+        _export_one_building,
+        hypotheses_save_root=hypotheses_save_root,
+        raw_dataset_dir=raw_dataset_dir,
+        use_inferred_wdos_layout=use_inferred_wdos_layout,
+        mhnet_predictions_data_root=mhnet_predictions_data_root,
+    )
     if num_processes > 1:
+        # Module-level fn + functools.partial: picklable for the process pool
+        # (a local closure is not).
         with cf.ProcessPoolExecutor(max_workers=num_processes) as pool:
             list(pool.map(run, building_ids))
     else:
         for b in building_ids:
             run(b)
+
+
+def _export_one_building(
+    building_id: str,
+    hypotheses_save_root: str,
+    raw_dataset_dir: str,
+    use_inferred_wdos_layout: bool,
+    mhnet_predictions_data_root: Optional[str],
+) -> None:
+    export_single_building_wdo_alignment_hypotheses(
+        hypotheses_save_root=hypotheses_save_root,
+        building_id=building_id,
+        json_annot_fpath=f"{raw_dataset_dir}/{building_id}/zind_data.json",
+        raw_dataset_dir=raw_dataset_dir,
+        use_inferred_wdos_layout=use_inferred_wdos_layout,
+        mhnet_predictions_data_root=mhnet_predictions_data_root,
+    )
