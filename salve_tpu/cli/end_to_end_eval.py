@@ -51,6 +51,14 @@ def _finite(x):
 @click.option("--depth_num_layers", type=int, default=50)
 @click.option("--confidence_threshold", type=float, default=0.5)
 @click.option("--method", type=str, default="pose2_slam")
+@click.option("--modalities", multiple=True,
+              default=("ceiling_rgb_texture", "floor_rgb_texture"),
+              type=click.Choice(["ceiling_rgb_texture", "floor_rgb_texture",
+                                 "layout"]),
+              help="Verifier input modalities. Including 'layout' renders "
+                   "rasterized room-layout pairs (rendering/layout.py) next "
+                   "to the RGB textures and trains the widened-stem fusion "
+                   "model on the 2/4/6-image tuple the set implies.")
 @click.option("--procedural_train_buildings", type=int, default=0,
               help="Additionally generate N procedural buildings (ids from the "
                    "train split) to scale verifier training data.")
@@ -77,7 +85,7 @@ def _finite(x):
 def run_end_to_end_eval(
     src_zind_dir, output_dir, train_building, eval_building, num_layers,
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
-    confidence_threshold, method, procedural_train_buildings,
+    confidence_threshold, method, modalities, procedural_train_buildings,
     procedural_val_buildings, photometric_augmentation, append_pair_difference,
     resume_ckpt, finetune_ckpt, stage_d_only,
 ) -> None:
@@ -87,8 +95,12 @@ def run_end_to_end_eval(
     raw_dir, depth_root = out / "zind", out / "depth"
     hyp_root, bev_root = out / "hypotheses", out / "bev"
     preds_dir, plots_dir = out / "preds", out / "plots"
+    layout_root = out / "layout"
+    use_layout = "layout" in modalities
     for d in (raw_dir, depth_root, hyp_root, bev_root, preds_dir, plots_dir):
         d.mkdir(parents=True, exist_ok=True)
+    if use_layout:
+        layout_root.mkdir(parents=True, exist_ok=True)
 
     if stage_d_only:
         _run_stage_d_only(
@@ -166,6 +178,13 @@ def run_end_to_end_eval(
         for floor_id in posegraph2d.compute_available_floors_for_building(
             bid, str(raw_dir)
         ):
+            # The synthesized buildings carry GT geometry, so the layout
+            # modality (when requested) rasterizes the GT pose graph's room
+            # polygons — the same source the RGB raycasts come from.
+            floor_pg = (
+                posegraph2d.get_gt_pose_graph(bid, floor_id, str(raw_dir))
+                if use_layout else None
+            )
             n_pairs += render_building_floor_pairs(
                 depth_save_root=str(depth_root),
                 bev_save_root=str(bev_root),
@@ -173,6 +192,11 @@ def run_end_to_end_eval(
                 raw_dataset_dir=str(raw_dir),
                 building_id=bid,
                 floor_id=floor_id,
+                layout_save_root=str(layout_root) if use_layout else None,
+                render_modalities=(
+                    ["rgb_texture", "layout"] if use_layout else ["rgb_texture"]
+                ),
+                floor_pose_graph=floor_pg,
             )
         timings[f"stage_b_{bid}_s"] = round(time.time() - t0, 2)
         logger.info("rendered %d pairs for %s", n_pairs, bid)
@@ -185,7 +209,11 @@ def run_end_to_end_eval(
         batch_size=batch_size,
         num_epochs=num_epochs,
         workers=4,
-        data_root=str(bev_root),
+        modalities=tuple(modalities),
+        # Layout-only tuples are discovered by globbing data_root itself
+        # (dataset/bev_pairs.py:56), so it must point at the layout tree.
+        data_root=str(layout_root) if set(modalities) == {"layout"} else str(bev_root),
+        layout_data_root=str(layout_root) if use_layout else "",
         model_save_dirpath=str(out / "ckpts"),
         # Fixture-scale data is ~1:8 imbalanced; plain CE collapses.
         class_balanced_loss=True,
@@ -240,6 +268,7 @@ def run_end_to_end_eval(
             "train_mAcc_history": [float(v) for v in results["train_mAcc"]],
             "num_layers": num_layers,
             "num_epochs": num_epochs,
+            "modalities": list(modalities),
         },
         "depth": "model:" + depth_ckpt if depth_ckpt else "gt_raycast",
         "reconstruction": [

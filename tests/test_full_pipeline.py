@@ -88,8 +88,9 @@ def test_full_pipeline_files_to_report(tmp_path) -> None:
         for extra in sorted(glob.glob(f"{label_dir}/*.json"))[4:]:
             os.remove(extra)
 
-    # --- Stage B ----------------------------------------------------------
+    # --- Stage B (RGB texture + layout modalities) -------------------------
     bev_root = tmp_path / "bev"
+    layout_root = tmp_path / "layout"
     n = render_building_floor_pairs(
         depth_save_root=str(depth_root),
         bev_save_root=str(bev_root),
@@ -97,11 +98,17 @@ def test_full_pipeline_files_to_report(tmp_path) -> None:
         raw_dataset_dir=str(raw_dir),
         building_id=building_id,
         floor_id=floor_id,
+        layout_save_root=str(layout_root),
+        render_modalities=["rgb_texture", "layout"],
+        floor_pose_graph=gt_pg,
         batch_size=4,
     )
     assert n > 0, "Stage B rendered nothing"
     rendered = glob.glob(str(bev_root / "*" / building_id / "*.jpg"))
     assert len(rendered) >= 4
+    layout_rendered = glob.glob(str(layout_root / "*" / building_id / "*.jpg"))
+    # One layout pair (2 files) per hypothesis pair, floor surface only.
+    assert len(layout_rendered) == len(rendered) // 2
 
     # --- Stage C (tiny untrained verifier; mechanics only) ----------------
     import jax
@@ -127,6 +134,28 @@ def test_full_pipeline_files_to_report(tmp_path) -> None:
     assert batch_files, "Stage C serialized no predictions"
     data = json.load(open(batch_files[0]))
     assert building_id in data["fp0"][0]
+
+    # Sextuplet modality: the same rendered trees feed the 18-channel fusion
+    # verifier (4 RGB textures + 2 layout rasters per example).
+    cfg6 = TrainingConfig(
+        num_layers=18,
+        resize_h=64,
+        resize_w=64,
+        train_h=56,
+        train_w=56,
+        batch_size=4,
+        workers=2,
+        compute_dtype="float32",
+        modalities=("ceiling_rgb_texture", "floor_rgb_texture", "layout"),
+        data_root=str(bev_root),
+        layout_data_root=str(layout_root),
+    )
+    state6 = train_lib.create_train_state(cfg6, jax.random.PRNGKey(0), max_iter=1)
+    ckpt6 = train_lib.save_checkpoint(str(tmp_path / "ckpt6"), state6, 0, 0.5, cfg6)
+    preds6_dir = tmp_path / "preds6"
+    evaluate(cfg6, ckpt6, "train", str(preds6_dir))
+    batch6 = glob.glob(str(preds6_dir / "batch_*.json"))
+    assert batch6, "sextuplet Stage C serialized no predictions"
 
     # --- Stage D ----------------------------------------------------------
     reports = run_incremental_reconstruction(
