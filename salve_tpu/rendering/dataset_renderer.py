@@ -249,8 +249,11 @@ def _render_layout_pairs(
 
     if jobs:
         imgs = layout_render.rasterize_layout_batch(jobs)
-        for fpath, img in zip(out_fpaths, imgs):
-            imageio.imwrite(fpath, img)
+        # Corpus-scale runs write tens of thousands of rasters; serial
+        # imwrite would dominate the stage.
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(lambda fi: imageio.imwrite(fi[0], fi[1]),
+                          zip(out_fpaths, imgs)))
     return count
 
 
