@@ -248,12 +248,15 @@ def _render_layout_pairs(
         count += 1
 
     if jobs:
-        imgs = layout_render.rasterize_layout_batch(jobs)
-        # Corpus-scale runs write tens of thousands of rasters; serial
-        # imwrite would dominate the stage.
+        # Stream each fetched chunk straight to the writer pool: JPG encode
+        # + disk IO overlap the next chunk's device render and transfer.
         with ThreadPoolExecutor(max_workers=8) as pool:
-            list(pool.map(lambda fi: imageio.imwrite(fi[0], fi[1]),
-                          zip(out_fpaths, imgs)))
+
+            def write_chunk(start, imgs):
+                for k in range(imgs.shape[0]):
+                    pool.submit(imageio.imwrite, out_fpaths[start + k], imgs[k])
+
+            layout_render.rasterize_layout_batch(jobs, on_chunk=write_chunk)
     return count
 
 

@@ -143,11 +143,18 @@ def rasterize_layout_batch_device(
     img_px: int = bev_ops.DEFAULT_BEV_IMG_PX,
     meters_per_px: float = bev_ops.DEFAULT_METERS_PER_PX,
 ) -> jnp.ndarray:
-    """vmap of rasterize_layout_device over a leading batch axis (B, ...)."""
+    """vmap of rasterize_layout_device over a leading batch axis (B, ...).
+
+    Returns uint8: the round/clip/cast happens on device so the fetched
+    array is 4x smaller — device->host transfer is the dataset-scale
+    bottleneck (fresh-array fetches run at ~20 MB/s through the tunnel),
+    and the rounded f32 values are identical either side.
+    """
     fn = functools.partial(
         rasterize_layout_device, img_px=img_px, meters_per_px=meters_per_px
     )
-    return jax.vmap(fn)(room_verts, num_room_verts, wdo_segments, wdo_colors, num_wdos)
+    imgs = jax.vmap(fn)(room_verts, num_room_verts, wdo_segments, wdo_colors, num_wdos)
+    return jnp.clip(jnp.round(imgs), 0, 255).astype(jnp.uint8)
 
 
 def rasterize_layout_batch(
@@ -155,34 +162,54 @@ def rasterize_layout_batch(
     img_px: int = bev_ops.DEFAULT_BEV_IMG_PX,
     meters_per_px: float = bev_ops.DEFAULT_METERS_PER_PX,
     chunk: int = 64,
-) -> np.ndarray:
+    on_chunk=None,
+) -> "np.ndarray | None":
     """Host wrapper: render many layouts in fixed-size device dispatches.
 
     Args:
         layouts: list of (room_vertices (V,2), wdo_objs) — same per-layout
             inputs as rasterize_single_layout.
+        on_chunk: optional callback (start_index, imgs_u8) invoked per
+            fetched chunk. When given, chunks are delivered as they land
+            (overlapping downstream IO with rendering) and the function
+            returns None instead of accumulating the full array.
 
     Returns:
-        (N, img_px+1, img_px+1, 3) uint8.
+        (N, img_px+1, img_px+1, 3) uint8, or None when on_chunk is given.
 
-    Dataset-scale layout rendering is dispatch-bound (two device calls per
-    hypothesis pair in the naive path); one batched call renders `chunk`
-    layouts per dispatch. Short batches are padded by repeating layout 0
-    so every dispatch reuses one compiled program.
+    Dataset-scale layout rendering is transfer-bound (fresh device->host
+    fetches run ~20 MB/s through the tunnel): the kernel emits uint8 and a
+    one-chunk lookahead overlaps chunk k's fetch with chunk k+1's render.
+    Short batches are padded by repeating layout 0 so every dispatch
+    reuses one compiled program.
     """
     if not layouts:
-        return np.zeros((0, img_px + 1, img_px + 1, 3), dtype=np.uint8)
+        return None if on_chunk else np.zeros(
+            (0, img_px + 1, img_px + 1, 3), dtype=np.uint8
+        )
     max_verts = max([MAX_ROOM_VERTS] + [rv.shape[0] for rv, _ in layouts])
     max_wdos = max([MAX_WDOS] + [len(w) for _, w in layouts])
 
-    out = np.zeros((len(layouts), img_px + 1, img_px + 1, 3), dtype=np.uint8)
+    out = None
+    if on_chunk is None:
+        out = np.zeros((len(layouts), img_px + 1, img_px + 1, 3), dtype=np.uint8)
+
+        def on_chunk(start, imgs):
+            out[start : start + imgs.shape[0]] = imgs
+
+    pending = None  # (start, n_real, device_array)
+
+    def deliver(p):
+        start, n_real, imgs_d = p
+        on_chunk(start, np.asarray(imgs_d)[:n_real])
+
     for start in range(0, len(layouts), chunk):
         batch = layouts[start : start + chunk]
         n_real = len(batch)
         while len(batch) < chunk:
             batch.append(layouts[0])
         padded = [_pad_layout(rv, w, max_verts, max_wdos) for rv, w in batch]
-        imgs = rasterize_layout_batch_device(
+        imgs_d = rasterize_layout_batch_device(
             jnp.asarray(np.stack([p[0] for p in padded])),
             jnp.asarray(np.array([p[1] for p in padded], dtype=np.int32)),
             jnp.asarray(np.stack([p[2] for p in padded])),
@@ -191,8 +218,10 @@ def rasterize_layout_batch(
             img_px,
             meters_per_px,
         )
-        imgs = np.clip(np.round(np.asarray(imgs[:n_real])), 0, 255).astype(np.uint8)
-        out[start : start + n_real] = imgs
+        if pending is not None:
+            deliver(pending)
+        pending = (start, n_real, imgs_d)
+    deliver(pending)
     return out
 
 
