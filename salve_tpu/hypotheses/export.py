@@ -211,12 +211,30 @@ def export_alignment_hypotheses_to_json(
     )
     if num_processes > 1:
         # Module-level fn + functools.partial: picklable for the process pool
-        # (a local closure is not).
-        with cf.ProcessPoolExecutor(max_workers=num_processes) as pool:
+        # (a local closure is not). Spawn-context workers pinned to CPU JAX:
+        # libtpu allows a single owner per host, so N forked workers all
+        # initializing a TPU client (inferred-WDO mode imports jax via
+        # hypotheses/batched.py) would crash or deadlock — the pool exists
+        # for host-side parallelism; per-building Stage-A math is CPU-cheap.
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        with cf.ProcessPoolExecutor(
+            max_workers=num_processes,
+            mp_context=ctx,
+            initializer=_worker_force_cpu_jax,
+        ) as pool:
             list(pool.map(run, building_ids))
     else:
         for b in building_ids:
             run(b)
+
+
+def _worker_force_cpu_jax() -> None:
+    """Pool-worker initializer: pin JAX to CPU before any jax import."""
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 
 def _export_one_building(

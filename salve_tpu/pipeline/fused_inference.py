@@ -175,9 +175,10 @@ def resolve_warp_default() -> bool:
     the default off-TPU and for the file-contract renderer.
     SALVE_TPU_DISABLE_WARP=1 forces direct everywhere.
     """
-    return (
-        jax.default_backend() == "tpu"
-        and not os.environ.get("SALVE_TPU_DISABLE_WARP")
+    # Parse the value, not just presence: "0"/"false"/"" keep warp ON.
+    disable = os.environ.get("SALVE_TPU_DISABLE_WARP", "").strip().lower()
+    return jax.default_backend() == "tpu" and disable not in (
+        "1", "true", "yes", "on",
     )
 
 

@@ -160,6 +160,7 @@ def _render_texture_pairs_batched(
     rgbs_d = jnp.asarray(rgbs)
 
     writer_pool = ThreadPoolExecutor(max_workers=io_workers)
+    write_futures: list = []
     count = 0
 
     def flush(pending):
@@ -170,8 +171,12 @@ def _render_texture_pairs_batched(
             # quality=95: default JPEG quality (75) adds ~5/255 of noise,
             # comparable to the aligned-vs-misaligned texture signal the
             # verifier trains on (BENCH_NOTES round-2 root-cause hunt).
-            writer_pool.submit(imageio.imwrite, w[4], imgs1[k], quality=95)
-            writer_pool.submit(imageio.imwrite, w[5], imgs2[k], quality=95)
+            write_futures.append(
+                writer_pool.submit(imageio.imwrite, w[4], imgs1[k], quality=95)
+            )
+            write_futures.append(
+                writer_pool.submit(imageio.imwrite, w[5], imgs2[k], quality=95)
+            )
 
     # One-batch lookahead: batch k's device->host transfer overlaps batch
     # k+1's on-device render (JAX dispatch is asynchronous).
@@ -200,6 +205,11 @@ def _render_texture_pairs_batched(
     if pending is not None:
         flush(pending)
     writer_pool.shutdown(wait=True)
+    # Surface any write failure (ENOSPC, bad dtype, ...): a silently missing
+    # JPG would later shrink the dataset (bev_pairs skips incomplete tuples)
+    # with no error anywhere.
+    for fut in write_futures:
+        fut.result()
     return count
 
 
@@ -250,13 +260,23 @@ def _render_layout_pairs(
     if jobs:
         # Stream each fetched chunk straight to the writer pool: JPG encode
         # + disk IO overlap the next chunk's device render and transfer.
+        # quality=95: the layout modality is near-binary art (thin pure-RGB
+        # W/D/O lines on white fill) — exactly what default-quality JPEG
+        # degrades most; keep it consistent with the RGB texture path.
+        write_futures = []
         with ThreadPoolExecutor(max_workers=8) as pool:
 
             def write_chunk(start, imgs):
                 for k in range(imgs.shape[0]):
-                    pool.submit(imageio.imwrite, out_fpaths[start + k], imgs[k])
+                    write_futures.append(
+                        pool.submit(
+                            imageio.imwrite, out_fpaths[start + k], imgs[k], quality=95
+                        )
+                    )
 
             layout_render.rasterize_layout_batch(jobs, on_chunk=write_chunk)
+        for fut in write_futures:  # surface write failures, never shrink silently
+            fut.result()
     return count
 
 

@@ -106,10 +106,15 @@ class MemoryLoader(AbstractLoader):
             ]
 
     def get_room_shape_predictions(self, pano_id: str, type: str = "partial_v1") -> dict:
-        return self._data["per_pano_predictions"][pano_id]["rse"].get(type)
+        # A panoid with no prediction directory at all (partial prediction
+        # runs) behaves like a missing file: None, so callers skip the pano
+        # instead of dying on KeyError.
+        rec = self._data["per_pano_predictions"].get(pano_id)
+        return rec["rse"].get(type) if rec is not None else None
 
     def get_dwo_predictions(self, pano_id: str, type: str = "rcnn") -> dict:
-        return self._data["per_pano_predictions"][pano_id]["dwo"].get(type)
+        rec = self._data["per_pano_predictions"].get(pano_id)
+        return rec["dwo"].get(type) if rec is not None else None
 
     def pano_ids(self) -> List[str]:
         return list(self._data["per_pano_predictions"].keys())

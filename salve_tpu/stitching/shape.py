@@ -226,6 +226,46 @@ def refine_predicted_shape(
     return shape_fused_by_cluster, fused_polygons
 
 
+def _build_raster_grid(
+    all_pts: np.ndarray, resolution: float
+) -> Tuple[np.ndarray, np.ndarray, float, float, np.ndarray]:
+    """Pixel-center grid covering the points' bbox (capped at 4000^2 cells).
+
+    Returns (xs, ys, sx, sy, mins) — the single source of truth for the
+    grid convention shared by iou_between_polygon_sets and
+    rasterize_polygons_union.
+    """
+    mins = all_pts.min(axis=0) - resolution
+    maxs = all_pts.max(axis=0) + resolution
+    nx_ = min(max(int(np.ceil((maxs[0] - mins[0]) / resolution)), 1), 4000)
+    ny_ = min(max(int(np.ceil((maxs[1] - mins[1]) / resolution)), 1), 4000)
+    sx = (maxs[0] - mins[0]) / nx_
+    sy = (maxs[1] - mins[1]) / ny_
+    xs = mins[0] + (np.arange(nx_) + 0.5) * sx
+    ys = mins[1] + (np.arange(ny_) + 0.5) * sy
+    return xs, ys, sx, sy, mins
+
+
+def _union_mask_on_grid(
+    polys: List[np.ndarray], xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """(H,W) bool union of rings, containment-tested per-ring bbox only."""
+    nx_, ny_ = len(xs), len(ys)
+    mask = np.zeros((ny_, nx_), dtype=bool)
+    for ring in polys:
+        ring = np.asarray(ring)
+        c0, c1 = np.searchsorted(xs, [ring[:, 0].min(), ring[:, 0].max()])
+        r0, r1 = np.searchsorted(ys, [ring[:, 1].min(), ring[:, 1].max()])
+        c1, r1 = min(c1 + 1, nx_), min(r1 + 1, ny_)
+        if c0 >= c1 or r0 >= r1:
+            continue
+        sub = np.stack(np.meshgrid(xs[c0:c1], ys[r0:r1]), axis=-1).reshape(-1, 2)
+        mask[r0:r1, c0:c1] |= points_in_polygon(ring, sub).reshape(
+            r1 - r0, c1 - c0
+        )
+    return mask
+
+
 def iou_between_polygon_sets(
     polys_a: List[np.ndarray],
     polys_b: List[np.ndarray],
@@ -238,35 +278,17 @@ def iou_between_polygon_sets(
     arithmetic (scripts/stitch_floor_plan.py:228-233). Areas are in squared
     world units (pixel count x resolution^2).
     """
-    all_pts = np.vstack([np.asarray(r) for r in polys_a + polys_b])
-    mins = all_pts.min(axis=0) - resolution
-    maxs = all_pts.max(axis=0) + resolution
-    nx_ = min(max(int(np.ceil((maxs[0] - mins[0]) / resolution)), 1), 4000)
-    ny_ = min(max(int(np.ceil((maxs[1] - mins[1]) / resolution)), 1), 4000)
-    sx = (maxs[0] - mins[0]) / nx_
-    sy = (maxs[1] - mins[1]) / ny_
-    xs = mins[0] + (np.arange(nx_) + 0.5) * sx
-    ys = mins[1] + (np.arange(ny_) + 0.5) * sy
-
-    def _union_mask(polys: List[np.ndarray]) -> np.ndarray:
-        mask = np.zeros((ny_, nx_), dtype=bool)
-        for ring in polys:
-            ring = np.asarray(ring)
-            # Evaluate containment only inside the ring's bbox rows/cols.
-            c0, c1 = np.searchsorted(xs, [ring[:, 0].min(), ring[:, 0].max()])
-            r0, r1 = np.searchsorted(ys, [ring[:, 1].min(), ring[:, 1].max()])
-            c1, r1 = min(c1 + 1, nx_), min(r1 + 1, ny_)
-            if c0 >= c1 or r0 >= r1:
-                continue
-            sub = np.stack(
-                np.meshgrid(xs[c0:c1], ys[r0:r1]), axis=-1
-            ).reshape(-1, 2)
-            mask[r0:r1, c0:c1] |= points_in_polygon(ring, sub).reshape(
-                r1 - r0, c1 - c0
-            )
-        return mask
-
-    mask_a, mask_b = _union_mask(polys_a), _union_mask(polys_b)
+    rings = [np.asarray(r) for r in polys_a + polys_b]
+    if not rings:
+        # Both sets empty (e.g. a cluster with no usable predictions and no
+        # floor-map match): score 0, don't crash the stitch run.
+        return {
+            "iou": 0.0, "area_a": 0.0, "area_b": 0.0,
+            "area_intersection": 0.0, "area_union": 0.0,
+        }
+    xs, ys, sx, sy, _ = _build_raster_grid(np.vstack(rings), resolution)
+    mask_a = _union_mask_on_grid(polys_a, xs, ys)
+    mask_b = _union_mask_on_grid(polys_b, xs, ys)
     px_area = sx * sy
     inter = float(np.logical_and(mask_a, mask_b).sum()) * px_area
     union = float(np.logical_or(mask_a, mask_b).sum()) * px_area
@@ -286,15 +308,5 @@ def rasterize_polygons_union(
 
     Returns (mask (H,W) bool, origin (2,) world coords of pixel [0,0]).
     """
-    all_pts = np.vstack(polygons)
-    mins = all_pts.min(axis=0) - resolution
-    maxs = all_pts.max(axis=0) + resolution
-    nx_ = min(max(int(np.ceil((maxs[0] - mins[0]) / resolution)), 1), 4000)
-    ny_ = min(max(int(np.ceil((maxs[1] - mins[1]) / resolution)), 1), 4000)
-    xs = mins[0] + (np.arange(nx_) + 0.5) * (maxs[0] - mins[0]) / nx_
-    ys = mins[1] + (np.arange(ny_) + 0.5) * (maxs[1] - mins[1]) / ny_
-    grid = np.stack(np.meshgrid(xs, ys), axis=-1).reshape(-1, 2)
-    mask = np.zeros(grid.shape[0], dtype=bool)
-    for ring in polygons:
-        mask |= points_in_polygon(np.asarray(ring), grid)
-    return mask.reshape(ny_, nx_), mins
+    xs, ys, _, _, mins = _build_raster_grid(np.vstack(polygons), resolution)
+    return _union_mask_on_grid(polygons, xs, ys), mins

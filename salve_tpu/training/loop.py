@@ -116,6 +116,12 @@ def train(
 
     Returns the accumulated results dict (train_/val_ prefixed metrics).
     """
+    if resume_from is not None and finetune_from is not None:
+        raise ValueError(
+            "resume_from and finetune_from are mutually exclusive: a full "
+            "restore would resume past the new run's poly-LR horizon "
+            "(lr=0, no learning) — pick one."
+        )
     np.random.seed(0)
 
     mesh = make_mesh(cfg.mesh_shape)

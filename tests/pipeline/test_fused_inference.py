@@ -185,6 +185,14 @@ class TestWarpDefault:
         monkeypatch.setenv("SALVE_TPU_DISABLE_WARP", "1")
         assert fi.resolve_warp_default() is False
 
+        # The value is parsed, not just presence: "0"/"false" keep warp ON.
+        monkeypatch.setenv("SALVE_TPU_DISABLE_WARP", "0")
+        assert fi.resolve_warp_default() is True
+        monkeypatch.setenv("SALVE_TPU_DISABLE_WARP", "false")
+        assert fi.resolve_warp_default() is True
+        monkeypatch.setenv("SALVE_TPU_DISABLE_WARP", "true")
+        assert fi.resolve_warp_default() is False
+
         monkeypatch.delenv("SALVE_TPU_DISABLE_WARP")
         monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
         assert fi.resolve_warp_default() is False

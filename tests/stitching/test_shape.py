@@ -105,3 +105,25 @@ class TestMemoryLoader:
         dwo = loader.get_dwo_predictions(panoids[0])
         assert rse is not None
         assert dwo is not None
+        # Unknown panoid (no prediction directory at all) behaves like a
+        # missing file: None, so stitch callers skip instead of KeyError.
+        assert loader.get_room_shape_predictions("ffffffffff") is None
+        assert loader.get_dwo_predictions("ffffffffff") is None
+
+
+class TestIoUBetweenPolygonSets:
+    def test_empty_sets_score_zero(self) -> None:
+        from salve_tpu.stitching import shape as shape_utils
+
+        scores = shape_utils.iou_between_polygon_sets([], [])
+        assert scores["iou"] == 0.0
+        assert scores["area_union"] == 0.0
+
+    def test_unit_squares(self) -> None:
+        from salve_tpu.stitching import shape as shape_utils
+
+        sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+        shifted = sq + np.array([0.5, 0.0])
+        scores = shape_utils.iou_between_polygon_sets([sq], [shifted])
+        assert abs(scores["iou"] - 1.0 / 3.0) < 0.05
+        assert abs(scores["area_a"] - 1.0) < 0.1
