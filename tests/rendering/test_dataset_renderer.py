@@ -84,6 +84,79 @@ class TestRenderBuildingFloorPairs:
         assert n2 == 0
 
 
+class TestRenderLayoutPairs:
+    def test_renders_writes_and_resumes(self, tmp_path) -> None:
+        """_render_layout_pairs: batched rasterize -> checked JPG writes."""
+        import types
+
+        import imageio.v2 as imageio
+
+        from salve_tpu.common.pano_data import PanoData
+        from salve_tpu.common.wdo import WDO
+        from salve_tpu.rendering.dataset_renderer import _render_layout_pairs
+
+        room = np.array([[-2.0, -2.0], [2.0, -2.0], [2.0, 2.0], [-2.0, 2.0]])
+        door = WDO(
+            global_Sim2_local=Sim2.identity(),
+            pt1=(2.0, -0.5),
+            pt2=(2.0, 0.5),
+            bottom_z=0,
+            top_z=2,
+            type="doors",
+        )
+        nodes = {
+            i: PanoData(
+                id=i,
+                global_Sim2_local=Sim2.identity(),
+                room_vertices_local_2d=room,
+                image_path=f"panos/floor_01_partial_room_01_pano_{i}.jpg",
+                label="room",
+                doors=[door],
+            )
+            for i in (3, 5)
+        }
+        pose_graph = types.SimpleNamespace(nodes=nodes)
+
+        hyp_dir = tmp_path / "hyp"
+        hyp_dir.mkdir()
+        pair_fpath = str(hyp_dir / "3_5__door_0_0_identity.json")
+        Sim2.from_theta_deg(30.0, np.array([1.0, 0.0])).save_as_json(pair_fpath)
+        img_fpaths = {
+            i: f"/fake/floor_01_partial_room_01_pano_{i}.jpg" for i in (3, 5)
+        }
+
+        n = _render_layout_pairs(
+            [pair_fpath],
+            img_fpaths,
+            str(tmp_path / "layout"),
+            "gt_alignment_approx",
+            "9999",
+            pose_graph,
+        )
+        assert n == 1
+        out_files = sorted(
+            glob.glob(f"{tmp_path}/layout/gt_alignment_approx/9999/*.jpg")
+        )
+        assert len(out_files) == 2  # floor surface x 2 panos
+        img = imageio.imread(out_files[0])
+        assert img.shape == (501, 501, 3)
+        assert img.sum() > 0
+
+        # Pano outside the pose graph -> skipped, not crashed; existing
+        # outputs -> resumed.
+        missing = str(hyp_dir / "3_9__door_0_0_identity.json")
+        Sim2.identity().save_as_json(missing)
+        n2 = _render_layout_pairs(
+            [pair_fpath, missing],
+            img_fpaths,
+            str(tmp_path / "layout"),
+            "gt_alignment_approx",
+            "9999",
+            pose_graph,
+        )
+        assert n2 == 0
+
+
 class TestDepthCache:
     def test_missing_cache_raises_without_model(self, tmp_path) -> None:
         from salve_tpu.depth.cache import infer_depth_if_nonexistent
