@@ -60,6 +60,18 @@ ACCURACY_r03.json error_analysis):
   - hub rooms more often (0.6 -> 0.85 at a lower 11 m^2 area gate) with the
     4th pano more likely — more same-room and cross-room far pairs per
     building.
+
+v11 additions (targeting the floor_01 forensics, ACCURACY_r03.json
+floor_01_forensics — the residual 0.828 mode is two conf-0.99
+wall-parallel opening-SLIDE false positives that no graph filter can
+reject; the verifier must learn the mode, so the corpus must contain it):
+  - same-width opening clusters: when the first W/D/O on a long shared
+    wall is an opening, the second (when drawn) is an opening with the
+    SAME width (+-4%) 60% of the time at the minimum legal gap — the
+    wrong opening-to-opening pairing then passes Stage A's 0.8 GT width
+    ratio gate and lands in incorrect_alignment training pools as a pure
+    along-wall slide with portal-shared visible content (the exact family
+    of 1210's poison edges 0->5 / 1->5).
 """
 
 from __future__ import annotations
@@ -344,18 +356,42 @@ def generate_building_json(
                 # (door+opening on one wall — e.g. a kitchen pass-through
                 # beside its door — appears in real tours and forces the
                 # verifier to rank door-vs-opening evidence).
-                second_is_opening = rng.uniform() < 0.3
-                w2 = float(
-                    rng.uniform(1.3, 2.2)
-                    if second_is_opening
-                    else rng.uniform(0.75, 1.15)
-                )
+                # v11: after an opening, the second is a SAME-width opening
+                # 60% of the time at the minimum legal gap — Stage A's
+                # wrong pairing of the twins is a pure along-wall slide
+                # that passes the 0.8 width-ratio gate, seeding the
+                # opening-slide hard negatives floor_01's poison edges
+                # showed the verifier never trained on.
+                same_width_twin = is_opening and rng.uniform() < 0.6
+                second_is_opening = same_width_twin or rng.uniform() < 0.3
+                if same_width_twin:
+                    w2 = float(width * rng.uniform(0.96, 1.04))
+                else:
+                    w2 = float(
+                        rng.uniform(1.3, 2.2)
+                        if second_is_opening
+                        else rng.uniform(0.75, 1.15)
+                    )
                 lo2, hi2 = lo_w + 0.5 + w2 / 2, hi_w - 0.5 - w2 / 2
-                for _ in range(12):
-                    cu2 = rng.uniform(lo2, hi2)
-                    if abs(cu2 - cu) >= (width + w2) / 2 + 0.3:
-                        placed.append((cu2, w2))
-                        break
+                min_gap = (width + w2) / 2 + (
+                    rng.uniform(0.3, 0.7) if same_width_twin else 0.3
+                )
+                if same_width_twin and lo2 < hi2:
+                    # Place the twin adjacent to the first opening (at the
+                    # minimal gap) rather than uniformly: small slides are
+                    # the hard ones.
+                    side = 1.0 if rng.uniform() < 0.5 else -1.0
+                    cu2 = cu + side * min_gap
+                    if not (lo2 <= cu2 <= hi2):
+                        cu2 = cu - side * min_gap
+                    if lo2 <= cu2 <= hi2:
+                        placed.append((float(cu2), w2))
+                if len(placed) == 1:
+                    for _ in range(12):
+                        cu2 = rng.uniform(lo2, hi2) if lo2 < hi2 else lo2
+                        if lo2 < hi2 and abs(cu2 - cu) >= min_gap:
+                            placed.append((float(cu2), w2))
+                            break
             along = (0.0, 1.0) if axis == "v" else (1.0, 0.0)
             for k_wdo, (cu_k, w_k) in enumerate(placed):
                 center = (coord, cu_k) if axis == "v" else (cu_k, coord)
