@@ -195,6 +195,45 @@ def test_v9_geometry_diversity():
     assert hub_spreads and max(hub_spreads) > 2.0, hub_spreads
 
 
+def test_v11_same_width_opening_twins():
+    """v11 addition: same-width opening twins on one shared wall — the
+    source of Stage A's wall-slide negatives (ACCURACY_r03.json
+    floor_01_forensics: the residual reconstruction mode is opening-slide
+    false positives the earlier corpora never contained)."""
+    n_twin_walls = 0
+    for seed in range(24):
+        b = procedural.generate_building_json(seed=seed)
+        S = b["scale_meters_per_coordinate"]["floor_01"]
+        fd = FloorData.from_json(b["merger"]["floor_01"], "floor_01")
+        # Collect deduped world-frame opening segments per wall line.
+        wall_opens: dict = {}
+        for pano in fd.panos:
+            for d in pano.openings:
+                pts = pano.global_Sim2_local.transform_from(
+                    np.array([d.pt1, d.pt2])
+                ) * S
+                seg = np.round(np.sort(pts, axis=0), 3)
+                ax = 0 if abs(seg[0, 0] - seg[1, 0]) < 1e-6 else 1
+                wall = (ax, round(float(seg[0, ax]), 2))
+                wall_opens.setdefault(wall, set()).add(tuple(seg.ravel()))
+        for segs in wall_opens.values():
+            if len(segs) < 2:
+                continue
+            widths = []
+            for s in segs:
+                p = np.asarray(s).reshape(2, 2)
+                widths.append(float(np.linalg.norm(p[1] - p[0])))
+            widths.sort()
+            for w1, w2 in zip(widths, widths[1:]):
+                if w1 / w2 >= 0.9:  # passes Stage A's 0.8 GT ratio gate
+                    n_twin_walls += 1
+                    break
+    assert n_twin_walls >= 3, (
+        f"same-width opening twins too rare: {n_twin_walls} walls in 24 "
+        "buildings — Stage A cannot emit wall-slide negatives without them"
+    )
+
+
 def test_write_procedural_buildings_never_rewrites(tmp_path):
     """Resume contract: an existing zind_data.json is never regenerated —
     the generator's rng consumption changes across corpus versions, and a
