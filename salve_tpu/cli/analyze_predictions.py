@@ -54,6 +54,7 @@ def load_hypothesis_records(preds_dir: str):
                     "y_true": int(yt),
                     "p_pos": float(p) if yh == 1 else 1.0 - float(p),
                     "wdo": m0.group(2),
+                    "wdo_idxs": (int(m0.group(3)), int(m0.group(4))),
                     "config": m0.group(5),
                     "floor": m0.group(7),
                     "rooms": (m0.group(8), m1.group(8)),
@@ -63,6 +64,78 @@ def load_hypothesis_records(preds_dir: str):
                 }
             )
     return recs
+
+
+def classify_fp_families(
+    records, hypotheses_save_root, raw_dataset_dir, building_id, threshold
+):
+    """Classify accepted false positives by their GT relative-pose error.
+
+    Families (the Stage-D failure taxonomy ACCURACY_r03.json
+    floor_01_forensics established by hand):
+      - "slide":    rot within 3 deg but translation off by >= 0.3 m — a
+                    wall-parallel W/D/O mispairing; self-consistent slides
+                    are invisible to cycle filtering and poison the seam.
+      - "rotation": rot error >= 3 deg (wrong configuration / wrong wall).
+      - "near_miss": rot < 3 deg and trans < 0.3 m — labeled negative only
+                    by the GT tolerance; harmless downstream.
+
+    Requires the hypothesis JSONs and the GT pose graph; returns
+    {floor: [fp detail dicts]} sorted by confidence.
+    """
+    import numpy as np
+
+    from salve_tpu.common import posegraph2d
+    from salve_tpu.geometry.sim2 import Sim2
+
+    out = {}
+    floors = sorted({r["floor"] for r in records})
+    for floor in floors:
+        gt = posegraph2d.get_gt_pose_graph(building_id, floor, raw_dataset_dir)
+        fps = []
+        for r in records:
+            if r["floor"] != floor or r["y_true"] != 0 or r["p_pos"] < threshold:
+                continue
+            i1, i2 = r["edge"]
+            fname = (
+                f"{i1}_{i2}__{r['wdo']}_{r['wdo_idxs'][0]}_"
+                f"{r['wdo_idxs'][1]}_{r['config']}.json"
+            )
+            fpath = (
+                Path(hypotheses_save_root) / building_id / floor
+                / "incorrect_alignment" / fname
+            )
+            if not fpath.exists() or i1 not in gt.nodes or i2 not in gt.nodes:
+                continue
+            S = Sim2.from_json(str(fpath))
+            gt_rel = gt.nodes[i2].global_Sim2_local.inverse().compose(
+                gt.nodes[i1].global_Sim2_local
+            )
+            rot_err = abs((S.theta_deg - gt_rel.theta_deg + 180) % 360 - 180)
+            trans_err = float(
+                np.linalg.norm(
+                    S.translation / S.scale - gt_rel.translation / gt_rel.scale
+                )
+            )
+            family = (
+                "rotation"
+                if rot_err >= 3.0
+                else ("slide" if trans_err >= 0.3 else "near_miss")
+            )
+            fps.append(
+                {
+                    "edge": [i1, i2],
+                    "p_pos": round(r["p_pos"], 4),
+                    "wdo": f"{r['wdo']}_{r['wdo_idxs'][0]}_{r['wdo_idxs'][1]}",
+                    "config": r["config"],
+                    "rot_err_deg": round(float(rot_err), 2),
+                    "trans_err_m": round(trans_err, 3),
+                    "family": family,
+                }
+            )
+        fps.sort(key=lambda d: -d["p_pos"])
+        out[floor] = fps
+    return out
 
 
 def analyze_floor(records, thresholds):
@@ -131,7 +204,41 @@ def analyze_floor(records, thresholds):
     type=click.Path(),
     help="Optional path to also write the full report as JSON.",
 )
-def main(preds_dir: str, thresholds: str, output_json: str) -> None:
+@click.option(
+    "--hypotheses_save_root",
+    default=None,
+    type=click.Path(exists=True),
+    help="Stage-A hypothesis root: enables GT-pose false-positive family "
+    "classification (slide / rotation / near_miss).",
+)
+@click.option(
+    "--raw_dataset_dir",
+    default=None,
+    type=click.Path(exists=True),
+    help="ZInD root with GT pose graphs (required with "
+    "--hypotheses_save_root).",
+)
+@click.option(
+    "--building_id",
+    default=None,
+    help="Building the predictions belong to (required with "
+    "--hypotheses_save_root).",
+)
+@click.option(
+    "--fp_threshold",
+    default=0.5,
+    show_default=True,
+    help="Confidence threshold for the FP-family classification.",
+)
+def main(
+    preds_dir: str,
+    thresholds: str,
+    output_json: str,
+    hypotheses_save_root: str,
+    raw_dataset_dir: str,
+    building_id: str,
+    fp_threshold: float,
+) -> None:
     ths = [float(t) for t in thresholds.split(",") if t]
     recs = load_hypothesis_records(preds_dir)
     report = {}
@@ -139,6 +246,30 @@ def main(preds_dir: str, thresholds: str, output_json: str) -> None:
         report[floor] = analyze_floor(
             [r for r in recs if r["floor"] == floor], ths
         )
+    if hypotheses_save_root:
+        if not (raw_dataset_dir and building_id):
+            raise click.UsageError(
+                "--hypotheses_save_root needs --raw_dataset_dir and "
+                "--building_id"
+            )
+        families = classify_fp_families(
+            recs, hypotheses_save_root, raw_dataset_dir, building_id,
+            fp_threshold,
+        )
+        for floor, fps in families.items():
+            report[floor]["fp_families"] = fps
+            kinds = Counter(d["family"] for d in fps)
+            click.echo(
+                f"{floor}: {len(fps)} FPs at conf>={fp_threshold}: "
+                f"{dict(kinds)}"
+            )
+            for d in fps:
+                if d["family"] != "near_miss":
+                    click.echo(
+                        f"  {tuple(d['edge'])} p={d['p_pos']} {d['wdo']}/"
+                        f"{d['config']}: rot {d['rot_err_deg']} deg, "
+                        f"trans {d['trans_err_m']} m -> {d['family']}"
+                    )
     for floor, fa in report.items():
         click.echo(
             f"\n{floor}: {fa['n_hypotheses']} hyps, "
