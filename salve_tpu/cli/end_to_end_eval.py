@@ -35,6 +35,48 @@ def _finite(x):
     return float(x) if x is not None and np.isfinite(x) else None
 
 
+def _report_dict(r):
+    """One reconstruction summary entry (shared by full + stage-D-only runs)."""
+    return {
+        "building_id": r.building_id,
+        "floor_id": r.floor_id,
+        "avg_abs_rot_err_deg": _finite(r.avg_abs_rot_err),
+        "avg_abs_trans_err": _finite(r.avg_abs_trans_err),
+        "percent_panos_localized": _finite(r.percent_panos_localized),
+        "floorplan_iou": _finite(r.floorplan_iou),
+        "percent_in_top2_ccs": _finite(r.percent_in_top2_ccs),
+        "percent_in_top3_ccs": _finite(r.percent_in_top3_ccs),
+    }
+
+
+def _per_building_verifier(preds_dir: Path) -> dict:
+    """Group the serialized batch_{i}.json predictions by building id (the
+    BEV render's parent directory) and compute per-building precision /
+    recall / mAcc, so multi-building test splits stay comparable with
+    single-building runs."""
+    counts: dict = {}
+    for fpath in sorted(preds_dir.glob("batch_*.json")):
+        d = json.load(open(fpath))
+        for yh, yt, fp0 in zip(d["y_hat"], d["y_true"], d["fp0"]):
+            c = counts.setdefault(
+                Path(fp0).parent.name, {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
+            )
+            key = ("fn", "tn")[yh == yt] if yh == 0 else ("fp", "tp")[yh == yt]
+            c[key] += 1
+    out = {}
+    for bid, c in sorted(counts.items()):
+        npos, nneg = c["tp"] + c["fn"], c["tn"] + c["fp"]
+        out[bid] = {
+            "precision": c["tp"] / (c["tp"] + c["fp"]) if c["tp"] + c["fp"] else None,
+            "recall": c["tp"] / npos if npos else None,
+            "mAcc": (
+                0.5 * (c["tp"] / npos + c["tn"] / nneg) if npos and nneg else None
+            ),
+            "num_pairs": npos + nneg,
+        }
+    return out
+
+
 @click.command(help="End-to-end accuracy run on synthesized fixture buildings.")
 @click.option("--src_zind_dir", type=click.Path(exists=True),
               default="/root/reference/tests/test_data/ZInD")
@@ -65,6 +107,11 @@ def _finite(x):
 @click.option("--procedural_val_buildings", type=int, default=0,
               help="Generate N procedural buildings with val-split ids so "
                    "best-checkpoint selection uses a real held-out val mAcc.")
+@click.option("--eval_procedural_buildings", type=int, default=0,
+              help="Generate N never-trained-on procedural buildings with "
+                   "TEST-split ids and score the verifier + reconstruction "
+                   "on them alongside --eval_building — widens held-out "
+                   "accuracy evidence from one fixture building to N+1.")
 @click.option("--photometric_augmentation", is_flag=True, default=False)
 @click.option("--append_pair_difference", is_flag=True, default=False,
               help="Feed explicit per-pair difference channels to the "
@@ -86,7 +133,8 @@ def run_end_to_end_eval(
     src_zind_dir, output_dir, train_building, eval_building, num_layers,
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
     confidence_threshold, method, modalities, procedural_train_buildings,
-    procedural_val_buildings, photometric_augmentation, append_pair_difference,
+    procedural_val_buildings, eval_procedural_buildings,
+    photometric_augmentation, append_pair_difference,
     resume_ckpt, finetune_ckpt, stage_d_only,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
@@ -125,12 +173,14 @@ def run_end_to_end_eval(
         depth_provider = load_depth_provider(depth_ckpt, num_layers=depth_num_layers)
 
     src_dirs = {train_building: src_zind_dir, eval_building: src_zind_dir}
-    if procedural_train_buildings > 0 or procedural_val_buildings > 0:
+    eval_proc_ids: list = []
+    if (procedural_train_buildings > 0 or procedural_val_buildings > 0
+            or eval_procedural_buildings > 0):
         from salve_tpu.dataset.procedural import write_procedural_buildings
         from salve_tpu.dataset.zind_partition import DATASET_SPLITS
 
-        # Procedural geometry rides unused train/val-split ids so the split
-        # discovery (dataset/bev_pairs.py) picks it up without changes.
+        # Procedural geometry rides unused train/val/test-split ids so the
+        # split discovery (dataset/bev_pairs.py) picks it up without changes.
         proc_ids = [
             bid for bid in sorted(DATASET_SPLITS["train"])
             if bid not in (train_building, eval_building)
@@ -139,13 +189,22 @@ def run_end_to_end_eval(
             bid for bid in sorted(DATASET_SPLITS["val"])
             if bid not in (train_building, eval_building)
         ][:procedural_val_buildings]
+        # Held-out reconstruction targets: test-split ids seed NEVER-trained
+        # geometry (seed derives from the id), scored exactly like
+        # --eval_building through the same Stage A->D contracts.
+        eval_proc_ids = [
+            bid for bid in sorted(DATASET_SPLITS["test"])
+            if bid not in (train_building, eval_building)
+        ][:eval_procedural_buildings]
+        proc_ids += eval_proc_ids
         proc_src = out / "procedural_zind"
         write_procedural_buildings(str(proc_src), proc_ids, base_seed=7)
         for bid in proc_ids:
             src_dirs[bid] = str(proc_src)
         logger.info(
-            "generated %d procedural buildings (%d train / %d val ids)",
+            "generated %d procedural buildings (%d train / %d val / %d eval ids)",
             len(proc_ids), procedural_train_buildings, procedural_val_buildings,
+            len(eval_proc_ids),
         )
 
     buildings = sorted(src_dirs)
@@ -259,10 +318,12 @@ def run_end_to_end_eval(
     summary = {
         "train_building": train_building,
         "eval_building": eval_building,
+        "eval_procedural_buildings": eval_proc_ids,
         "verifier": {
             "precision": float(prec),
             "recall": float(rec),
             "mAcc": float(mAcc),
+            "per_building": _per_building_verifier(preds_dir),
             "train_mAcc_last": float(results["train_mAcc"][-1]),
             "val_mAcc_best": float(max(results["val_mAcc"])),
             "train_mAcc_history": [float(v) for v in results["train_mAcc"]],
@@ -271,17 +332,7 @@ def run_end_to_end_eval(
             "modalities": list(modalities),
         },
         "depth": "model:" + depth_ckpt if depth_ckpt else "gt_raycast",
-        "reconstruction": [
-            {
-                "avg_abs_rot_err_deg": _finite(r.avg_abs_rot_err),
-                "avg_abs_trans_err": _finite(r.avg_abs_trans_err),
-                "percent_panos_localized": _finite(r.percent_panos_localized),
-                "floorplan_iou": _finite(r.floorplan_iou),
-                "percent_in_top2_ccs": _finite(r.percent_in_top2_ccs),
-                "percent_in_top3_ccs": _finite(r.percent_in_top3_ccs),
-            }
-            for r in reports
-        ],
+        "reconstruction": [_report_dict(r) for r in reports],
         "method": method,
         "confidence_threshold": confidence_threshold,
         "timings_s": timings,
@@ -318,17 +369,7 @@ def _run_stage_d_only(
         "stage_d_only": True,
         "method": method,
         "confidence_threshold": confidence_threshold,
-        "reconstruction": [
-            {
-                "avg_abs_rot_err_deg": _finite(r.avg_abs_rot_err),
-                "avg_abs_trans_err": _finite(r.avg_abs_trans_err),
-                "percent_panos_localized": _finite(r.percent_panos_localized),
-                "floorplan_iou": _finite(r.floorplan_iou),
-                "percent_in_top2_ccs": _finite(r.percent_in_top2_ccs),
-                "percent_in_top3_ccs": _finite(r.percent_in_top3_ccs),
-            }
-            for r in reports
-        ],
+        "reconstruction": [_report_dict(r) for r in reports],
         "total_wallclock_s": round(time.time() - t_start, 2),
     }
     tag = f"{method}_conf{confidence_threshold:g}"

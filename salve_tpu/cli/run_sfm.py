@@ -108,12 +108,14 @@ def plot_confidence_histograms(measurements, save_fpath: str = "confidence_histo
     plt.close("all")
 
 
-def _empty_report() -> FloorReconstructionReport:
+def _empty_report(building_id=None, floor_id=None) -> FloorReconstructionReport:
     return FloorReconstructionReport(
         avg_abs_rot_err=np.nan,
         avg_abs_trans_err=np.nan,
         percent_panos_localized=0.0,
         floorplan_iou=0.0,
+        building_id=building_id,
+        floor_id=floor_id,
     )
 
 
@@ -159,7 +161,7 @@ def run_incremental_reconstruction(
         measurements = floor_ec_dict[(building_id, floor_id)]
         if not measurements:
             logger.info("Skip %s %s: no measurements.", building_id, floor_id)
-            reports.append(_empty_report())
+            reports.append(_empty_report(building_id, floor_id))
             continue
 
         inferred_floor_pose_graph = None
@@ -180,7 +182,7 @@ def run_incremental_reconstruction(
         )
         if not high_conf_measurements:
             logger.info("Skip %s %s: no high-confidence measurements.", building_id, floor_id)
-            reports.append(_empty_report())
+            reports.append(_empty_report(building_id, floor_id))
             continue
 
         if filter_edges_by_random_spanning_trees:
@@ -247,7 +249,7 @@ def run_incremental_reconstruction(
                 i2Si1_dict, two_view_reports_dict
             )
             if not i2Si1_dict:
-                reports.append(_empty_report())
+                reports.append(_empty_report(building_id, floor_id))
                 continue
             wSi_list = spanning_tree.greedily_construct_st_Sim2(i2Si1_dict, verbose=False)
 
@@ -262,7 +264,7 @@ def run_incremental_reconstruction(
                 i2Si1_dict, two_view_reports_dict
             )
             if not i2Si1_dict:
-                reports.append(_empty_report())
+                reports.append(_empty_report(building_id, floor_id))
                 continue
             pano_layouts = {
                 i: np.asarray(pano.room_vertices_local_2d)
@@ -281,7 +283,7 @@ def run_incremental_reconstruction(
 
         profiler.record_stage("sfm/optimize", _time.time() - _t_stage)
         if wSi_list is None:
-            reports.append(_empty_report())
+            reports.append(_empty_report(building_id, floor_id))
             continue
 
         est_floor_pose_graph = PoseGraph2d.from_wSi_list(wSi_list, gt_floor_pose_graph)

@@ -41,6 +41,10 @@ class FloorReconstructionReport:
     # the high-confidence edge graph. Filled by cli/run_sfm.py.
     percent_in_top2_ccs: float = np.nan
     percent_in_top3_ccs: float = np.nan
+    # Which floor this report scores — lets multi-building evaluations
+    # (cli/end_to_end_eval.py --eval_procedural_buildings) label each entry.
+    building_id: Optional[str] = None
+    floor_id: Optional[str] = None
 
     def __repr__(self) -> str:
         return (
@@ -103,6 +107,8 @@ class FloorReconstructionReport:
             floorplan_iou=float(floorplan_iou),
             rotation_errors=rot_errors,
             translation_errors=trans_errors,
+            building_id=gt_floor_pose_graph.building_id,
+            floor_id=gt_floor_pose_graph.floor_id,
         )
 
 

@@ -170,6 +170,10 @@ def test_full_pipeline_files_to_report(tmp_path) -> None:
         plot_save_dir=str(tmp_path / "plots"),
     )
     assert len(reports) >= 1
+    # Every report is labeled with the floor it scores (multi-building
+    # evaluations key on this).
+    assert all(r.building_id is not None and r.floor_id is not None
+               for r in reports)
     # Serialized pose graphs must exist for downstream stitching.
     serialized = glob.glob(str(tmp_path / "plots_serialized" / "*.json"))
     assert serialized, "Stage D serialized no pose graphs"
