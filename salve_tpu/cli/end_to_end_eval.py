@@ -283,15 +283,26 @@ def run_end_to_end_eval(
         # --train_building 1210 --eval_building 0000) actually flip.
         split_overrides={train_building: "train", eval_building: "test"},
     )
-    t0 = time.time()
-    results = train_loop.train(
-        cfg, resume_from=resume_ckpt, finetune_from=finetune_ckpt
-    )
-    timings["stage_c_train_s"] = round(time.time() - t0, 2)
+    if num_epochs == 0:
+        # Eval-only: score an existing checkpoint on the (possibly widened)
+        # test split without any Stage-C training.
+        ckpt_fpath = finetune_ckpt or resume_ckpt
+        assert ckpt_fpath, (
+            "--num_epochs 0 is eval-only: pass the checkpoint to score via "
+            "--finetune_ckpt or --resume_ckpt"
+        )
+        results = None
+        timings["stage_c_train_s"] = 0.0
+    else:
+        t0 = time.time()
+        results = train_loop.train(
+            cfg, resume_from=resume_ckpt, finetune_from=finetune_ckpt
+        )
+        timings["stage_c_train_s"] = round(time.time() - t0, 2)
 
-    ckpts = sorted(glob.glob(str(out / "ckpts" / "*" / "train_ckpt.flax")))
-    assert ckpts, "training saved no checkpoint"
-    ckpt_fpath = ckpts[-1]
+        ckpts = sorted(glob.glob(str(out / "ckpts" / "*" / "train_ckpt.flax")))
+        assert ckpts, "training saved no checkpoint"
+        ckpt_fpath = ckpts[-1]
 
     t0 = time.time()
     prec, rec, mAcc = train_loop.evaluate(cfg, ckpt_fpath, "test", str(preds_dir))
@@ -324,9 +335,16 @@ def run_end_to_end_eval(
             "recall": float(rec),
             "mAcc": float(mAcc),
             "per_building": _per_building_verifier(preds_dir),
-            "train_mAcc_last": float(results["train_mAcc"][-1]),
-            "val_mAcc_best": float(max(results["val_mAcc"])),
-            "train_mAcc_history": [float(v) for v in results["train_mAcc"]],
+            "ckpt": ckpt_fpath,
+            "train_mAcc_last": (
+                float(results["train_mAcc"][-1]) if results else None
+            ),
+            "val_mAcc_best": (
+                float(max(results["val_mAcc"])) if results else None
+            ),
+            "train_mAcc_history": (
+                [float(v) for v in results["train_mAcc"]] if results else []
+            ),
             "num_layers": num_layers,
             "num_epochs": num_epochs,
             "modalities": list(modalities),
