@@ -138,6 +138,11 @@ def run_end_to_end_eval(
     resume_ckpt, finetune_ckpt, stage_d_only,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
+    if num_epochs == 0 and not (finetune_ckpt or resume_ckpt) and not stage_d_only:
+        raise click.UsageError(
+            "--num_epochs 0 is eval-only: pass the checkpoint to score via "
+            "--finetune_ckpt or --resume_ckpt"
+        )
     t_start = time.time()
     out = Path(output_dir)
     raw_dir, depth_root = out / "zind", out / "depth"
@@ -284,13 +289,9 @@ def run_end_to_end_eval(
         split_overrides={train_building: "train", eval_building: "test"},
     )
     if num_epochs == 0:
-        # Eval-only: score an existing checkpoint on the (possibly widened)
-        # test split without any Stage-C training.
+        # Eval-only (validated up front): score an existing checkpoint on
+        # the (possibly widened) test split without any Stage-C training.
         ckpt_fpath = finetune_ckpt or resume_ckpt
-        assert ckpt_fpath, (
-            "--num_epochs 0 is eval-only: pass the checkpoint to score via "
-            "--finetune_ckpt or --resume_ckpt"
-        )
         results = None
         timings["stage_c_train_s"] = 0.0
     else:

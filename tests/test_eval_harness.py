@@ -79,3 +79,15 @@ def test_eval_procedural_buildings_flag_exposed() -> None:
 
     params = {p.name for p in run_end_to_end_eval.params}
     assert "eval_procedural_buildings" in params
+
+
+def test_eval_only_requires_ckpt() -> None:
+    from click.testing import CliRunner
+
+    from salve_tpu.cli.end_to_end_eval import run_end_to_end_eval
+
+    r = CliRunner().invoke(
+        run_end_to_end_eval, ["--output_dir", "/tmp/_never_created", "--num_epochs", "0"]
+    )
+    assert r.exit_code == 2
+    assert "eval-only" in r.output
