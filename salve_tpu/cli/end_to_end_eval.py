@@ -124,6 +124,10 @@ def _per_building_verifier(preds_dir: Path) -> dict:
               help="Checkpoint to restore params/batch_stats ONLY (fresh "
                    "optimizer + LR schedule) — short follow-on training "
                    "over a grown corpus (training/loop.py finetune_from).")
+@click.option("--warp_corpus/--no_warp_corpus", default=None,
+              help="Render the training/eval corpus img1s as Sim(2) warps of "
+                   "per-pano identity banks (rendering/dataset_renderer.py; "
+                   "default: on for TPU backends).")
 @click.option("--stage_d_only", is_flag=True, default=False,
               help="Reuse an existing output_dir (hypotheses + serialized "
                    "preds from a prior full run) and re-run only Stage D — "
@@ -135,7 +139,7 @@ def run_end_to_end_eval(
     confidence_threshold, method, modalities, procedural_train_buildings,
     procedural_val_buildings, eval_procedural_buildings,
     photometric_augmentation, append_pair_difference,
-    resume_ckpt, finetune_ckpt, stage_d_only,
+    warp_corpus, resume_ckpt, finetune_ckpt, stage_d_only,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     if num_epochs == 0 and not (finetune_ckpt or resume_ckpt) and not stage_d_only:
@@ -261,6 +265,7 @@ def run_end_to_end_eval(
                     ["rgb_texture", "layout"] if use_layout else ["rgb_texture"]
                 ),
                 floor_pose_graph=floor_pg,
+                use_warp=warp_corpus,
             )
         timings[f"stage_b_{bid}_s"] = round(time.time() - t0, 2)
         logger.info("rendered %d pairs for %s", n_pairs, bid)
@@ -354,6 +359,7 @@ def run_end_to_end_eval(
         "reconstruction": [_report_dict(r) for r in reports],
         "method": method,
         "confidence_threshold": confidence_threshold,
+        "warp_corpus": warp_corpus,
         "timings_s": timings,
         "total_wallclock_s": round(time.time() - t_start, 2),
     }

@@ -52,6 +52,13 @@ from salve_tpu.rendering.dataset_renderer import render_pairs
 @click.option("--multiprocess_building_panos", type=bool, default=True, help="Accepted for flag parity; batching is automatic.")
 @click.option("--mhnet_predictions_data_root", type=str, default=None, required=False)
 @click.option("--batch_size", type=int, default=8, help="Hypothesis pairs per device batch.")
+@click.option(
+    "--use_warp_renders/--no_use_warp_renders",
+    default=None,
+    help="Render img1 as a Sim(2) warp of a per-pano identity bank instead "
+    "of a full per-hypothesis splat (default: on for TPU backends; "
+    "SALVE_TPU_DISABLE_WARP=1 forces direct).",
+)
 def run_render_dataset_bev(
     raw_dataset_dir: str,
     num_processes: int,
@@ -64,6 +71,7 @@ def run_render_dataset_bev(
     multiprocess_building_panos: bool,
     mhnet_predictions_data_root: Optional[str],
     batch_size: int,
+    use_warp_renders: Optional[bool],
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     render_modalities = ["rgb_texture"] if layout_save_root is None else ["layout"]
@@ -78,6 +86,7 @@ def run_render_dataset_bev(
         building_id=building_id,
         mhnet_predictions_data_root=mhnet_predictions_data_root,
         batch_size=batch_size,
+        use_warp=use_warp_renders,
     )
     click.echo(f"Rendered {n} pair images.")
 

@@ -28,6 +28,24 @@ from salve_tpu.rendering import bev_pair, layout as layout_render
 logger = logging.getLogger(__name__)
 
 DEFAULT_BATCH_SIZE = 8
+# The warp path's per-hypothesis cost is one Sim(2) resample instead of a
+# full splat+fill render, so it sustains much larger device batches.
+WARP_BATCH_SIZE = 64
+
+
+def resolve_corpus_warp_default() -> bool:
+    """Warp default for the file-contract (corpus) renderer: ON for TPU.
+
+    The fused inference path promoted warp in round 3 after an end-to-end
+    A/B (ACCURACY_r03 warp_ab: 99.3% label agreement, identical Stage-D
+    reconstruction). The corpus A/B (training on warp-rendered vs
+    direct-rendered JPGs, ACCURACY_r04 warp_corpus_ab) closed the remaining
+    gap, so the TPU production default is warp here too.
+    SALVE_TPU_DISABLE_WARP=1 forces direct renders everywhere.
+    """
+    from salve_tpu.pipeline.fused_inference import resolve_warp_default
+
+    return resolve_warp_default()
 
 
 def panoid_from_fpath(fpath: str) -> int:
@@ -51,8 +69,11 @@ def render_building_floor_pairs(
     floor_pose_graph=None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     io_workers: int = 8,
+    use_warp: Optional[bool] = None,
 ) -> int:
     """Render all hypothesis pairs for one building floor. Returns #pairs rendered."""
+    if use_warp is None:
+        use_warp = resolve_corpus_warp_default()
     img_fpaths_dict = _pano_fpaths_for_building(raw_dataset_dir, building_id)
     num_rendered = 0
 
@@ -68,15 +89,16 @@ def render_building_floor_pairs(
 
             with profiler.stage_timer("render/texture_pairs"):
                 num_rendered += _render_texture_pairs_batched(
-                pair_fpaths,
-                img_fpaths_dict,
-                depth_save_root,
-                bev_save_root,
-                label_type,
-                building_id,
-                batch_size,
-                io_workers,
-            )
+                    pair_fpaths,
+                    img_fpaths_dict,
+                    depth_save_root,
+                    bev_save_root,
+                    label_type,
+                    building_id,
+                    batch_size,
+                    io_workers,
+                    use_warp,
+                )
 
         if "layout" in render_modalities and floor_pose_graph is not None:
             num_rendered += _render_layout_pairs(
@@ -107,8 +129,20 @@ def _render_texture_pairs_batched(
     building_id: str,
     batch_size: int,
     io_workers: int,
+    use_warp: bool = False,
 ) -> int:
-    """RGB texture modality: both surfaces, batched on device."""
+    """RGB texture modality: both surfaces, batched on device.
+
+    With ``use_warp`` (the TPU production default, resolve_corpus_warp_default)
+    each pano is fully rendered ONCE per surface — a standard-extent identity
+    render (every pair's img2 verbatim) plus an extended-extent warp source
+    bank — and each hypothesis's img1 is a single Sim(2) resample of the
+    bank (ops/warp.py). Hypotheses outnumber panos ~100x on real floors, so
+    this removes the per-hypothesis splat+fill render entirely. Output
+    filenames / formats are identical to the direct arm; pixel drift vs the
+    direct render is the warp drift measured in tests/parity/test_warp_drift.py
+    and validated end-to-end in ACCURACY_r03/r04 warp A/Bs.
+    """
     import imageio.v2 as imageio
 
     building_bev_save_dir = f"{bev_save_root}/{label_type}/{building_id}"
@@ -159,6 +193,27 @@ def _render_texture_pairs_batched(
     depths_d = jnp.asarray(depths)
     rgbs_d = jnp.asarray(rgbs)
 
+    warp_banks, ident_banks = {}, {}
+    if use_warp:
+        from salve_tpu.ops import warp as warp_ops
+
+        render_cfg = bev_pair.BEVRenderConfig()
+        bank_px = 2 * render_cfg.img_px
+        batch_size = max(batch_size, WARP_BATCH_SIZE)
+        for surface_type in ("floor", "ceiling"):
+            z_range = bev_pair._z_range_for_surface(surface_type)
+            # One full render per pano per surface: the identity render (img2
+            # for every hypothesis touching this pano) and the 2x-extent warp
+            # source (packed rgb888 so the per-hypothesis gather is 1 word).
+            warp_banks[surface_type] = warp_ops.pack_rgb888(
+                warp_ops.render_identity_bank_extended(
+                    depths_d, rgbs_d, z_range, render_cfg, bank_px
+                )
+            )
+            ident_banks[surface_type] = bev_pair.render_identity_batched(
+                depths_d, rgbs_d, z_range, render_cfg
+            )
+
     writer_pool = ThreadPoolExecutor(max_workers=io_workers)
     write_futures: list = []
     count = 0
@@ -195,9 +250,23 @@ def _render_texture_pairs_batched(
                 [Sim2.from_json(w[0]).translation for w in chunk]
             ).astype(np.float32)
 
-            imgs1_d, imgs2_d = bev_pair.render_bev_pairs_batch_device(
-                depths_d, rgbs_d, pair_indices, rotations, translations, surface_type
-            )
+            if use_warp:
+                from salve_tpu.ops import warp as warp_ops
+
+                i1_idx = jnp.asarray(pair_indices[:, 0])
+                i2_idx = jnp.asarray(pair_indices[:, 1])
+                imgs1_d = warp_ops.warp_bank_auto(
+                    warp_banks[surface_type][i1_idx],
+                    jnp.asarray(rotations),
+                    jnp.asarray(translations)
+                    * bev_pair.HOHO_S_ZIND_SCALE_FACTOR,
+                )
+                imgs2_d = ident_banks[surface_type][i2_idx]
+            else:
+                imgs1_d, imgs2_d = bev_pair.render_bev_pairs_batch_device(
+                    depths_d, rgbs_d, pair_indices, rotations, translations,
+                    surface_type,
+                )
             if pending is not None:
                 flush(pending)
             pending = (chunk, imgs1_d, imgs2_d)
@@ -291,6 +360,7 @@ def render_pairs(
     building_id: Optional[str] = None,
     mhnet_predictions_data_root: Optional[str] = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    use_warp: Optional[bool] = None,
 ) -> int:
     """Render all pairs of a split or single building (parity :120)."""
     from salve_tpu.dataset import hnet_prediction_loader
@@ -328,5 +398,6 @@ def render_pairs(
                 render_modalities=render_modalities,
                 floor_pose_graph=fpg,
                 batch_size=batch_size,
+                use_warp=use_warp,
             )
     return total

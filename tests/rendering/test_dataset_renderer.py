@@ -84,6 +84,53 @@ class TestRenderBuildingFloorPairs:
         assert n2 == 0
 
 
+class TestRenderBuildingFloorPairsWarp:
+    def test_warp_arm_matches_direct_contract(self, synthetic_building) -> None:
+        """use_warp=True writes the same file set; img2 (identity render) is
+        pixel-identical to the direct arm and img1 carries warped content.
+
+        Pixel drift of the warped img1 vs the direct render is measured in
+        tests/parity/test_warp_drift.py; here we pin the file contract.
+        """
+        import imageio.v2 as imageio
+
+        sb = synthetic_building
+        kwargs = dict(
+            depth_save_root=sb["depth_save_root"],
+            hypotheses_save_root=sb["hypotheses_save_root"],
+            raw_dataset_dir=sb["raw_dataset_dir"],
+            building_id=sb["building_id"],
+            floor_id=sb["floor_id"],
+        )
+        n_direct = render_building_floor_pairs(
+            bev_save_root=sb["bev_save_root"] + "_direct", use_warp=False, **kwargs
+        )
+        n_warp = render_building_floor_pairs(
+            bev_save_root=sb["bev_save_root"] + "_warp", use_warp=True, **kwargs
+        )
+        assert n_warp == n_direct == 2
+
+        direct = sorted(
+            glob.glob(f"{sb['bev_save_root']}_direct/gt_alignment_approx/9999/*.jpg")
+        )
+        warp = sorted(
+            glob.glob(f"{sb['bev_save_root']}_warp/gt_alignment_approx/9999/*.jpg")
+        )
+        assert [Path(f).name for f in warp] == [Path(f).name for f in direct]
+        for fd, fw in zip(direct, warp):
+            im_d, im_w = imageio.imread(fd), imageio.imread(fw)
+            assert im_w.shape == im_d.shape == (501, 501, 3)
+            assert im_w.sum() > 0
+            if "pano_5" in Path(fd).name:  # img2: identity render, same math
+                assert np.array_equal(im_w, im_d)
+
+        # Resume contract holds for the warp arm too.
+        n2 = render_building_floor_pairs(
+            bev_save_root=sb["bev_save_root"] + "_warp", use_warp=True, **kwargs
+        )
+        assert n2 == 0
+
+
 class TestRenderLayoutPairs:
     def test_renders_writes_and_resumes(self, tmp_path) -> None:
         """_render_layout_pairs: batched rasterize -> checked JPG writes."""
