@@ -90,13 +90,19 @@ def photometric_shift(key: jax.Array, imgs: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(out, 0.0, 255.0)
 
 
-def _crop_one(img_tuple: jnp.ndarray, off_h, off_w, crop_h: int, crop_w: int):
-    """Dynamic-slice crop of one (N,H,W,3) tuple at a shared offset."""
-    return jax.lax.dynamic_slice(
-        img_tuple,
-        (0, off_h, off_w, 0),
-        (img_tuple.shape[0], crop_h, crop_w, 3),
-    )
+def _crop_batch(imgs: jnp.ndarray, off_h, off_w, crop_h: int, crop_w: int):
+    """Random crop of a (B,N,H,W,3) batch at per-example offsets.
+
+    Two take_along_axis gathers (contiguous row window, then column window)
+    instead of a vmapped dynamic_slice: the vmap lowers to a per-element
+    gather that costs ~900 ms for a bs256 RN152 batch on a v5e chip — 36x
+    the row-coherent form (BENCH_NOTES.md round-4 train-step root cause;
+    the same lesson as ops/warp.py's row-slice shear passes).
+    """
+    rows = off_h[:, None] + jnp.arange(crop_h)  # (B, crop_h)
+    imgs = jnp.take_along_axis(imgs, rows[:, None, :, None, None], axis=2)
+    cols = off_w[:, None] + jnp.arange(crop_w)  # (B, crop_w)
+    return jnp.take_along_axis(imgs, cols[:, None, None, :, None], axis=3)
 
 
 @functools.partial(jax.jit, static_argnames=("crop_h", "crop_w", "photometric"))
@@ -123,9 +129,7 @@ def augment_train(
 
     off_h = jax.random.randint(k_crop_h, (b,), 0, h - crop_h + 1)
     off_w = jax.random.randint(k_crop_w, (b,), 0, w - crop_w + 1)
-    imgs = jax.vmap(_crop_one, in_axes=(0, 0, 0, None, None))(
-        imgs, off_h, off_w, crop_h, crop_w
-    )
+    imgs = _crop_batch(imgs, off_h, off_w, crop_h, crop_w)
 
     do_h = jax.random.bernoulli(k_hflip, 0.5, (b,))
     do_v = jax.random.bernoulli(k_vflip, 0.5, (b,))
