@@ -124,6 +124,15 @@ def _per_building_verifier(preds_dir: Path) -> dict:
               help="Checkpoint to restore params/batch_stats ONLY (fresh "
                    "optimizer + LR schedule) — short follow-on training "
                    "over a grown corpus (training/loop.py finetune_from).")
+@click.option("--calibrate_on_val", is_flag=True, default=False,
+              help="Fit temperature scaling + ONE frozen operating point on "
+                   "the val split (training/calibration.py): score val, fit "
+                   "T by NLL, choose the threshold by a val reconstruction "
+                   "sweep, then run the held-out Stage D at that single "
+                   "frozen point (overrides --confidence_threshold). The "
+                   "deployment story of the reference's fixed 0.93 "
+                   "(scripts/run_sfm.py:617), earned on val instead of "
+                   "swept on test.")
 @click.option("--warp_corpus/--no_warp_corpus", default=None,
               help="Render the training/eval corpus img1s as Sim(2) warps of "
                    "per-pano identity banks (rendering/dataset_renderer.py; "
@@ -139,7 +148,7 @@ def run_end_to_end_eval(
     confidence_threshold, method, modalities, procedural_train_buildings,
     procedural_val_buildings, eval_procedural_buildings,
     photometric_augmentation, append_pair_difference,
-    warp_corpus, resume_ckpt, finetune_ckpt, stage_d_only,
+    calibrate_on_val, warp_corpus, resume_ckpt, finetune_ckpt, stage_d_only,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     if num_epochs == 0 and not (finetune_ckpt or resume_ckpt) and not stage_d_only:
@@ -318,6 +327,18 @@ def run_end_to_end_eval(
     # --- Stage D: reconstruction + metrics on the held-out building. ------
     from salve_tpu.cli.run_sfm import run_incremental_reconstruction
 
+    calibration_summary = None
+    if calibrate_on_val:
+        t0 = time.time()
+        calibration_summary, confidence_threshold = _calibrate_on_val_split(
+            cfg, ckpt_fpath, out, hyp_root, raw_dir, plots_dir, method,
+        )
+        timings["calibration_s"] = round(time.time() - t0, 2)
+        logger.info(
+            "frozen operating point from val: raw conf %.4f (T=%.3f)",
+            confidence_threshold, calibration_summary["temperature"],
+        )
+
     t0 = time.time()
     reports = run_incremental_reconstruction(
         hypotheses_save_root=str(hyp_root),
@@ -359,6 +380,7 @@ def run_end_to_end_eval(
         "reconstruction": [_report_dict(r) for r in reports],
         "method": method,
         "confidence_threshold": confidence_threshold,
+        "calibration": calibration_summary,
         "warp_corpus": warp_corpus,
         "timings_s": timings,
         "total_wallclock_s": round(time.time() - t_start, 2),
@@ -366,6 +388,79 @@ def run_end_to_end_eval(
     with open(out / "end_to_end_eval.json", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
+
+
+def _calibrate_on_val_split(
+    cfg, ckpt_fpath, out, hyp_root, raw_dir, plots_dir, method,
+    threshold_grid=(0.5, 0.6, 0.7, 0.8, 0.9, 0.93),
+):
+    """Fit temperature + freeze ONE operating point using the val split only.
+
+    1. Score the val split (procedural val-id buildings) -> val batch JSONs.
+    2. Fit scalar temperature by NLL (training/calibration.py).
+    3. Sweep CALIBRATED thresholds through the full Stage D reconstruction
+       of the val buildings; freeze the one with the best mean floorplan
+       IoU (ties -> higher localization, then higher threshold).
+    Returns (summary_dict, frozen_raw_confidence_threshold). Everything here
+    reads val data only — the held-out split stays untouched until the
+    caller applies the frozen point once.
+    """
+    from salve_tpu.cli.run_sfm import run_incremental_reconstruction
+    from salve_tpu.training import calibration
+    from salve_tpu.training import loop as train_loop
+
+    val_preds_dir = out / "val_preds"
+    val_preds_dir.mkdir(parents=True, exist_ok=True)
+    if not any(val_preds_dir.glob("batch_*.json")):
+        train_loop.evaluate(cfg, ckpt_fpath, "val", str(val_preds_dir))
+    if not any(val_preds_dir.glob("batch_*.json")):
+        raise click.UsageError(
+            "--calibrate_on_val needs a non-empty val split: pass "
+            "--procedural_val_buildings N so val-id buildings are rendered."
+        )
+
+    fit = calibration.fit_from_preds(str(val_preds_dir))
+    temperature = fit["temperature"]
+
+    sweep = {}
+    best = None  # (iou, loc, t_cal, t_raw)
+    for t_cal in threshold_grid:
+        t_raw = calibration.raw_threshold_for_calibrated(t_cal, temperature)
+        reports = run_incremental_reconstruction(
+            hypotheses_save_root=str(hyp_root),
+            serialized_preds_json_dir=str(val_preds_dir),
+            raw_dataset_dir=str(raw_dir),
+            method=method,
+            confidence_threshold=t_raw,
+            use_axis_alignment=False,
+            allowed_wdo_types=["door", "window", "opening"],
+            predictions_data_root=None,
+            plot_save_dir=str(plots_dir / f"val_calib_{t_cal:g}"),
+        )
+        ious = [r.floorplan_iou for r in reports if r.floorplan_iou is not None]
+        locs = [
+            r.percent_panos_localized
+            for r in reports
+            if r.percent_panos_localized is not None
+        ]
+        mean_iou = float(np.mean(ious)) if ious else 0.0
+        mean_loc = float(np.mean(locs)) if locs else 0.0
+        sweep[f"{t_cal:g}"] = {
+            "raw_equivalent": round(float(t_raw), 4),
+            "val_mean_iou": round(mean_iou, 4),
+            "val_mean_loc": round(mean_loc, 2),
+            "n_floors": len(ious),
+        }
+        key = (mean_iou, mean_loc, t_cal)
+        if best is None or key > best[:3]:
+            best = (mean_iou, mean_loc, t_cal, float(t_raw))
+
+    summary = dict(fit)
+    summary["val_reconstruction_sweep"] = sweep
+    summary["frozen_threshold_calibrated"] = best[2]
+    summary["frozen_threshold_raw"] = round(best[3], 4)
+    summary["selection_rule"] = "max val mean IoU (ties: loc, then threshold)"
+    return summary, best[3]
 
 
 def _run_stage_d_only(

@@ -6,6 +6,8 @@ wire format and the labeled reconstruction summary entries.
 """
 
 import json
+
+import pytest
 from pathlib import Path
 
 import numpy as np
@@ -79,6 +81,55 @@ def test_eval_procedural_buildings_flag_exposed() -> None:
 
     params = {p.name for p in run_end_to_end_eval.params}
     assert "eval_procedural_buildings" in params
+
+
+def test_calibrate_on_val_freezes_best_val_iou_point(tmp_path, monkeypatch) -> None:
+    """_calibrate_on_val_split: fits T on val preds, sweeps Stage D on val,
+    freezes the max-mean-IoU calibrated threshold (raw-equivalent returned)."""
+    from salve_tpu.cli import end_to_end_eval as e2e
+
+    val_preds = tmp_path / "val_preds"
+    val_preds.mkdir()
+    rng = np.random.default_rng(0)
+    z = rng.normal(0, 2.0, 400)
+    y = (rng.uniform(size=400) < 1 / (1 + np.exp(-z))).astype(int)
+    p = 1 / (1 + np.exp(-2.0 * z))  # overconfident by T=2
+    yh = (p >= 0.5).astype(int)
+    with open(val_preds / "batch_0.json", "w") as f:
+        json.dump({
+            "y_hat": yh.tolist(), "y_true": y.tolist(),
+            "y_hat_probs": np.where(yh == 1, p, 1 - p).tolist(),
+        }, f)
+
+    # Stub Stage D: mean IoU peaks at raw threshold nearest calibrated 0.8.
+    from salve_tpu.training import calibration as cal
+    seen = []
+
+    def fake_reconstruction(*, confidence_threshold, plot_save_dir, **kw):
+        seen.append(confidence_threshold)
+        iou = 1.0 - abs(confidence_threshold - seen_best_raw)
+        return [FloorReconstructionReport(
+            avg_abs_rot_err=0.1, avg_abs_trans_err=0.1,
+            percent_panos_localized=100.0, floorplan_iou=iou,
+            building_id="0011", floor_id="floor_01")]
+
+    monkeypatch.setattr(
+        "salve_tpu.cli.run_sfm.run_incremental_reconstruction",
+        fake_reconstruction,
+    )
+    p_val, y_val = cal.load_serialized_probs(str(val_preds))
+    T = cal.fit_temperature(p_val, y_val)
+    seen_best_raw = cal.raw_threshold_for_calibrated(0.8, T)
+
+    summary, frozen_raw = e2e._calibrate_on_val_split(
+        cfg=None, ckpt_fpath=None, out=tmp_path, hyp_root=tmp_path,
+        raw_dir=tmp_path, plots_dir=tmp_path, method="pose2_slam",
+    )
+    assert summary["temperature"] == pytest.approx(2.0, rel=0.25)
+    assert summary["frozen_threshold_calibrated"] == 0.8
+    assert frozen_raw == pytest.approx(seen_best_raw, abs=1e-4)
+    assert len(seen) == 6  # full grid swept
+    assert summary["ece_calibrated"] <= summary["ece_raw"]
 
 
 def test_eval_only_requires_ckpt() -> None:
