@@ -68,8 +68,14 @@ def measure_algorithm_localization_accuracy(
     algorithm_name: str,
     save_dir: str,
     reconstruction_json_fpath: str,
+    visualize_3d: bool = False,
 ) -> FloorReconstructionReport:
-    """Report for a floor's reconstruction vs GT, via robust Sim(3) alignment."""
+    """Report for a floor's reconstruction vs GT, via robust Sim(3) alignment.
+
+    With visualize_3d, the GT + estimated 3D pose graphs are rendered before
+    and after the Sim(3) alignment (parity: salve/baselines/sfm_eval.py:177,184,
+    Open3D there) as PNGs under {save_dir}/viz_3d_poses.
+    """
     if algorithm_name == "opensfm":
         reconstructions = opensfm_utils.load_opensfm_reconstructions_from_json(
             reconstruction_json_fpath
@@ -111,9 +117,27 @@ def measure_algorithm_localization_accuracy(
             for bTi in bTi_list_est
         ]
 
+        if visualize_3d:
+            from salve_tpu.visualization.pose_viz import plot_3d_poses
+
+            viz3d_dir = f"{save_dir}/viz_3d_poses"
+            os.makedirs(viz3d_dir, exist_ok=True)
+            plot_3d_poses(
+                aTi_list_gt, bTi_list_est,
+                save_fpath=f"{viz3d_dir}/{building_id}_{floor_id}_prealign.png",
+                title=f"{building_id} {floor_id}: before Sim(3) alignment",
+            )
+
         aligned_bTi_list_est, _ = ransac_align_poses_sim3_ignore_missing(
             aTi_list_gt, bTi_list_est
         )
+
+        if visualize_3d:
+            plot_3d_poses(
+                aTi_list_gt, aligned_bTi_list_est,
+                save_fpath=f"{viz3d_dir}/{building_id}_{floor_id}_aligned.png",
+                title=f"{building_id} {floor_id}: after Sim(3) alignment",
+            )
 
         est_pg3 = PoseGraph3d.from_wTi_list(aligned_bTi_list_est, building_id, floor_id)
         est_floor_pose_graph = est_pg3.project_to_2d(gt_floor_pose_graph)

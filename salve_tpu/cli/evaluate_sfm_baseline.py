@@ -22,7 +22,13 @@ from salve_tpu.common.floor_reconstruction_report import summarize_reports
                    "(ZinD_{building}_{floor}__{algo} subdirectories).")
 @click.option("--algorithm_name", type=click.Choice(["opensfm", "openmvg"]), required=True)
 @click.option("--save_dir", type=str, required=True)
-def run_evaluate_sfm_baseline(raw_dataset_dir, results_dir, algorithm_name, save_dir) -> None:
+@click.option("--visualize_3d", is_flag=True, default=False,
+              help="Save before/after-alignment 3D pose-graph renderings "
+                   "(visualization/pose_viz.py; reference used Open3D "
+                   "interactively, salve/baselines/sfm_eval.py:177,184).")
+def run_evaluate_sfm_baseline(
+    raw_dataset_dir, results_dir, algorithm_name, save_dir, visualize_3d
+) -> None:
     logging.basicConfig(level=logging.INFO)
     reports = []
     for floor_dir in sorted(glob.glob(f"{results_dir}/ZinD_*__{algorithm_name}")):
@@ -40,6 +46,7 @@ def run_evaluate_sfm_baseline(raw_dataset_dir, results_dir, algorithm_name, save
             algorithm_name=algorithm_name,
             save_dir=save_dir,
             reconstruction_json_fpath=recon_fpath,
+            visualize_3d=visualize_3d,
         )
         reports.append(report)
 
