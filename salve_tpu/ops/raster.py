@@ -79,8 +79,13 @@ def polyline_coverage(
 ) -> jnp.ndarray:
     """Anti-aliased coverage in [0,1] of a thick open polyline.
 
-    Coverage = smoothstep over (thickness/2 - distance-to-nearest-segment),
-    with a 1-pixel transition band (approximates cv2.LINE_AA).
+    Coverage is a linear ramp in distance-to-nearest-segment calibrated to
+    cv2.line(LINE_AA)'s measured radial profile (the oracle the reference's
+    checkpoints trained on, bev_rendering_utils.py:251): cv2 reaches 50%
+    intensity at thickness/2 + 0.65 px with a ~1.25 px transition band,
+    independent of line angle (measured in tests/parity/
+    test_raster_cv2_drift.py; cv2's thick AA lines render ~1.3 px wider
+    than nominal). Round caps via the endpoint-clamped segment distance.
 
     Args:
         verts_xy: (V,2) float image-space vertices, padded.
@@ -109,7 +114,9 @@ def polyline_coverage(
     dist = jnp.where(seg_valid[None, None, :], dist, jnp.inf)
     min_dist = jnp.min(dist, axis=-1)
 
-    cov = jnp.clip(thickness / 2.0 + 0.5 - min_dist, 0.0, 1.0)
+    half_width = thickness / 2.0 + 0.65  # cv2 50%-intensity radius
+    ramp = 1.25  # cv2 transition band width (px)
+    cov = jnp.clip((half_width + ramp / 2.0 - min_dist) / ramp, 0.0, 1.0)
     return cov
 
 
