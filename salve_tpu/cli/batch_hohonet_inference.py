@@ -30,6 +30,10 @@ logger = logging.getLogger(__name__)
 @click.option("--model_ckpt", type=click.Path(exists=True), default=None,
               help="Trained PanoDepthNet msgpack to produce missing depth maps.")
 @click.option("--model_num_layers", type=int, default=50)
+@click.option("--hohonet_input_hw", type=str, default="512,1024",
+              help="Input resolution a .pth HoHoNet checkpoint was built "
+                   "for (the EHC compression bakes the height into weight "
+                   "shapes); ep60 is the production 512,1024.")
 def run_batch_hohonet_inference(
     raw_dataset_dir: str,
     depth_save_root: str,
@@ -38,6 +42,7 @@ def run_batch_hohonet_inference(
     num_processes: int,
     model_ckpt: Optional[str],
     model_num_layers: int,
+    hohonet_input_hw: str,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     if model_ckpt:
@@ -47,7 +52,8 @@ def run_batch_hohonet_inference(
             # A real HoHoNet torch checkpoint (download_monodepth_model.sh).
             from salve_tpu.models.hohonet import load_hohonet_depth_provider
 
-            register_depth_model(load_hohonet_depth_provider(model_ckpt))
+            hw = tuple(int(v) for v in hohonet_input_hw.split(","))
+            register_depth_model(load_hohonet_depth_provider(model_ckpt, hw))
         else:
             from salve_tpu.models.depth_net import load_depth_provider
 

@@ -509,12 +509,21 @@ def convert_hohonet_state_dict(sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
     return params, stats
 
 
-def load_hohonet_depth_provider(ckpt_fpath: str):
+def load_hohonet_depth_provider(
+    ckpt_fpath: str, input_hw: Tuple[int, int] = INPUT_HW
+):
     """Load a HoHoNet torch checkpoint (ep60.pth of
     mp3d_depth_HOHO_depth_dct_efficienthc_TransEn1_hardnet, fetched by the
     reference's scripts/download_monodepth_model.sh) as a depth provider:
-    (H,W,3) float RGB in [0,1] -> (H,W) float meters — the depth.cache
-    producer contract (salve/utils/hohonet_inference.py:14)."""
+    (512,1024,3) float RGB in [0,1] -> (512,1024) float meters — the
+    depth.cache producer contract (salve/utils/hohonet_inference.py:14).
+
+    ``input_hw`` is the resolution the CHECKPOINT was built for (the EHC
+    height compression bakes the input height into weight shapes); ep60 is
+    the production 512x1024. A reduced-resolution checkpoint still serves
+    the cache contract: the pano is resized to input_hw for the network and
+    the predicted depth is bilinearly upsampled back to 512x1024.
+    """
     import jax
     import torch
 
@@ -522,13 +531,18 @@ def load_hohonet_depth_provider(ckpt_fpath: str):
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     params, stats = convert_hohonet_state_dict(sd)
-    model = HoHoNetDepth()
+    model = HoHoNetDepth(input_hw=input_hw)
 
     @jax.jit
     def _infer(rgb):
-        return model.apply(
+        if rgb.shape[:2] != tuple(input_hw):
+            rgb = jax.image.resize(rgb, (*input_hw, 3), method="linear")
+        depth = model.apply(
             {"params": params, "batch_stats": stats}, rgb[None], train=False
         )[0]
+        if depth.shape != tuple(INPUT_HW):
+            depth = jax.image.resize(depth, INPUT_HW, method="linear")
+        return depth
 
     def provider(rgb: np.ndarray) -> np.ndarray:
         return np.asarray(_infer(jnp.asarray(rgb, dtype=jnp.float32)))
