@@ -328,13 +328,35 @@ def bench_verifier_train_step(reps: int = 4) -> dict:
     float(metrics["loss"])  # fetch barrier; steps chain through state
     dt = (time.time() - t0) / reps
 
+    # Augmentation cost billed separately (VERDICT r3 weak #7): its FLOPs
+    # are negligible next to the model's, so the honest split is time.
+    from salve_tpu.training import transforms
+
+    aug = jax.jit(
+        lambda k, x: jnp.sum(
+            transforms.augment_train(
+                k, x, cfg.train_h, cfg.train_w,
+                photometric=cfg.apply_photometric_augmentation,
+            )
+        )
+    )
+    float(aug(key, imgs))  # compile
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for i in range(reps):
+        acc = acc + aug(jax.random.fold_in(key, i), imgs)
+    float(acc)
+    aug_s = (time.time() - t0) / reps
+
     out = {
         "step_s": round(dt, 3),
         "pairs_per_sec": round(cfg.batch_size / dt, 1),
+        "aug_s": round(aug_s, 4),
     }
     if flops:
         # v5 lite peak ~197 TFLOP/s bf16.
         out["est_mfu_vs_v5e_peak"] = round(flops / dt / 197e12, 3)
+        out["est_model_mfu_ex_aug"] = round(flops / max(dt - aug_s, 1e-9) / 197e12, 3)
         out["step_tflops"] = round(flops / 1e12, 2)
     return out
 
