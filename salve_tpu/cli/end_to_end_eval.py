@@ -175,7 +175,7 @@ def run_end_to_end_eval(
         )
         return
 
-    from salve_tpu.common import posegraph2d
+    from salve_tpu.common import floor_reconstruction_report, posegraph2d
     from salve_tpu.dataset.synthetic_zind import materialize_synthetic_building
     from salve_tpu.hypotheses.export import (
         export_single_building_wdo_alignment_hypotheses,
@@ -378,6 +378,13 @@ def run_end_to_end_eval(
         },
         "depth": "model:" + depth_ckpt if depth_ckpt else "gt_raycast",
         "reconstruction": [_report_dict(r) for r in reports],
+        # Corpus rollup in the reference's summarize_reports format
+        # (floor_reconstruction_report.py:353): mean+median of the four
+        # metrics + top-2/3-CC completeness over all held-out floors.
+        "reconstruction_summary": {
+            k: _finite(v)
+            for k, v in floor_reconstruction_report.summarize_reports(reports).items()
+        },
         "method": method,
         "confidence_threshold": confidence_threshold,
         "calibration": calibration_summary,
@@ -485,11 +492,17 @@ def _run_stage_d_only(
         predictions_data_root=None,
         plot_save_dir=str(plots_dir),
     )
+    from salve_tpu.common import floor_reconstruction_report
+
     summary = {
         "stage_d_only": True,
         "method": method,
         "confidence_threshold": confidence_threshold,
         "reconstruction": [_report_dict(r) for r in reports],
+        "reconstruction_summary": {
+            k: _finite(v)
+            for k, v in floor_reconstruction_report.summarize_reports(reports).items()
+        },
         "total_wallclock_s": round(time.time() - t_start, 2),
     }
     tag = f"{method}_conf{confidence_threshold:g}"
