@@ -186,6 +186,17 @@ def _render_texture_pairs_batched(
     depths = np.stack([d for d, _ in loaded])
     rgbs = np.stack([c for _, c in loaded]).astype(np.float32)
 
+    # Bucket the pano-bank size: the jitted bank renders compile per input
+    # shape, and floors carry anywhere from 2 to 30+ panos — padding P to a
+    # multiple of 8 bounds the number of distinct compiles over a dataset
+    # run to a handful instead of one multi-minute compile per building
+    # (pad entries have zero depth -> no valid points, and no pair ever
+    # indexes them).
+    p_pad = -len(pano_ids) % 8
+    if p_pad:
+        depths = np.concatenate([depths, np.zeros((p_pad, *depths.shape[1:]), depths.dtype)])
+        rgbs = np.concatenate([rgbs, np.zeros((p_pad, *rgbs.shape[1:]), rgbs.dtype)])
+
     # Stage the bank on device ONCE; per-batch uploads are then just the
     # (B,2) indices and (B,2,2)/(B,2) poses.
     import jax.numpy as jnp
@@ -249,6 +260,20 @@ def _render_texture_pairs_batched(
             translations = np.stack(
                 [Sim2.from_json(w[0]).translation for w in chunk]
             ).astype(np.float32)
+            # Pad the tail chunk to the full batch shape (identity poses on
+            # bank slot 0): one compiled program per surface, no per-tail
+            # recompiles. flush() only iterates the real rows.
+            n_pad = batch_size - len(chunk)
+            if n_pad:
+                pair_indices = np.concatenate(
+                    [pair_indices, np.zeros((n_pad, 2), np.int32)]
+                )
+                rotations = np.concatenate(
+                    [rotations, np.tile(np.eye(2, dtype=np.float32), (n_pad, 1, 1))]
+                )
+                translations = np.concatenate(
+                    [translations, np.zeros((n_pad, 2), np.float32)]
+                )
 
             if use_warp:
                 from salve_tpu.ops import warp as warp_ops
@@ -267,6 +292,12 @@ def _render_texture_pairs_batched(
                     depths_d, rgbs_d, pair_indices, rotations, translations,
                     surface_type,
                 )
+            # Kick the device->host copies off immediately so they overlap
+            # the NEXT batch's render (np.asarray alone would start the
+            # transfer only inside flush, serializing render and fetch).
+            for arr in (imgs1_d, imgs2_d):
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
             if pending is not None:
                 flush(pending)
             pending = (chunk, imgs1_d, imgs2_d)
