@@ -46,9 +46,13 @@ class TestPolylineCoverage:
                 jnp.asarray(verts), jnp.int32(2), jnp.float32(8.0), 32, 32
             )
         )
+        # Profile is calibrated to cv2.LINE_AA's measured radial falloff
+        # (50% intensity at thickness/2 + 0.65 px, 1.25 px ramp — see
+        # tests/parity/test_raster_cv2_drift.py and raster.py docstring).
         assert cov[16, 16] == 1.0  # on the line
-        assert cov[13, 16] == 1.0  # strictly inside half-thickness
-        assert cov[12, 16] == 0.5  # exactly on the nominal edge
+        assert cov[12, 16] == 1.0  # at nominal half-thickness (cv2 is wider)
+        np.testing.assert_allclose(cov[11, 16], (4.65 + 0.625 - 5) / 1.25, atol=1e-5)
+        assert cov[10, 16] == 0.0  # past the cv2 feather
         assert cov[5, 16] == 0.0  # far away
         # Anti-aliased boundary exists
         band = cov[(cov > 0) & (cov < 1)]
