@@ -416,7 +416,11 @@ def _calibrate_on_val_split(
     from salve_tpu.training import calibration
     from salve_tpu.training import loop as train_loop
 
-    val_preds_dir = out / "val_preds"
+    # Key the val predictions by checkpoint so a later run over the same
+    # output_dir (e.g. an RN152 recipe pass reusing the rendered corpus)
+    # never calibrates against a stale model's predictions.
+    ckpt_tag = Path(ckpt_fpath).parent.name if ckpt_fpath else "none"
+    val_preds_dir = out / f"val_preds_{ckpt_tag}"
     val_preds_dir.mkdir(parents=True, exist_ok=True)
     if not any(val_preds_dir.glob("batch_*.json")):
         train_loop.evaluate(cfg, ckpt_fpath, "val", str(val_preds_dir))

@@ -88,7 +88,7 @@ def test_calibrate_on_val_freezes_best_val_iou_point(tmp_path, monkeypatch) -> N
     freezes the max-mean-IoU calibrated threshold (raw-equivalent returned)."""
     from salve_tpu.cli import end_to_end_eval as e2e
 
-    val_preds = tmp_path / "val_preds"
+    val_preds = tmp_path / "val_preds_none"  # ckpt_fpath=None -> tag "none"
     val_preds.mkdir()
     rng = np.random.default_rng(0)
     z = rng.normal(0, 2.0, 400)
