@@ -120,13 +120,17 @@ def augment_train(
     Accepts uint8 or float inputs (uint8 preferred: 4x cheaper host->device
     transfer; upcast happens on device). Returns a normalized float batch.
     """
-    imgs = imgs.astype(jnp.float32)
     b, n, h, w, _ = imgs.shape
     k_crop_h, k_crop_w, k_hflip, k_vflip, k_photo = jax.random.split(key, 5)
 
     if photometric:
-        imgs = photometric_shift(k_photo, imgs)
+        # Reference order: photometric jitter precedes the crop
+        # (train_utils.py:108-118), and it needs float math.
+        imgs = photometric_shift(k_photo, imgs.astype(jnp.float32))
 
+    # Crop + flips are dtype-agnostic index ops: on a uint8 batch (the
+    # loader's native dtype) they move 4x fewer bytes than after the f32
+    # upcast, which happens at normalize below.
     off_h = jax.random.randint(k_crop_h, (b,), 0, h - crop_h + 1)
     off_w = jax.random.randint(k_crop_w, (b,), 0, w - crop_w + 1)
     imgs = _crop_batch(imgs, off_h, off_w, crop_h, crop_w)
@@ -136,7 +140,7 @@ def augment_train(
     imgs = jnp.where(do_h[:, None, None, None, None], imgs[:, :, :, ::-1], imgs)
     imgs = jnp.where(do_v[:, None, None, None, None], imgs[:, :, ::-1], imgs)
 
-    return normalize_batch(imgs)
+    return normalize_batch(imgs.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("crop_h", "crop_w"))
