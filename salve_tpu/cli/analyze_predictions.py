@@ -37,20 +37,28 @@ _FNAME_RE = re.compile(
 )
 
 
-def load_hypothesis_records(preds_dir: str):
+def load_hypothesis_records(preds_dir: str, building_id: str | None = None):
     """Flatten batch_{i}.json dumps into per-hypothesis dicts with
-    P(positive), W/D/O metadata, and the (pano0, pano1) edge key."""
+    P(positive), W/D/O metadata, and the (pano0, pano1) edge key.
+
+    building_id filters multi-building prediction dumps (the render's
+    parent directory carries the building, as in _per_building_verifier)
+    so per-floor analysis never mixes different buildings' floor_01s.
+    """
     recs = []
     for fpath in sorted(glob.glob(str(Path(preds_dir) / "batch_*.json"))):
         d = json.load(open(fpath))
         for yh, yt, p, fp0, fp1 in zip(
             d["y_hat"], d["y_true"], d["y_hat_probs"], d["fp0"], d["fp1"]
         ):
+            if building_id is not None and Path(fp0).parent.name != building_id:
+                continue
             m0, m1 = _FNAME_RE.search(fp0), _FNAME_RE.search(fp1)
             if m0 is None or m1 is None:
                 continue
             recs.append(
                 {
+                    "building": Path(fp0).parent.name,
                     "y_true": int(yt),
                     "p_pos": float(p) if yh == 1 else 1.0 - float(p),
                     "wdo": m0.group(2),
@@ -221,8 +229,9 @@ def analyze_floor(records, thresholds):
 @click.option(
     "--building_id",
     default=None,
-    help="Building the predictions belong to (required with "
-    "--hypotheses_save_root).",
+    help="Filter multi-building prediction dumps to one building; also "
+    "required with --hypotheses_save_root for the FP-family "
+    "classification.",
 )
 @click.option(
     "--fp_threshold",
@@ -240,7 +249,7 @@ def main(
     fp_threshold: float,
 ) -> None:
     ths = [float(t) for t in thresholds.split(",") if t]
-    recs = load_hypothesis_records(preds_dir)
+    recs = load_hypothesis_records(preds_dir, building_id=building_id)
     report = {}
     for floor in sorted({r["floor"] for r in recs}):
         report[floor] = analyze_floor(
