@@ -87,6 +87,73 @@ def bench_tpu(depths, rgbs, batch_size: int = 32, reps: int = 6) -> float:
     return batch_size / dt
 
 
+def bench_warp_corpus(depths, rgbs, batch_size: int = 64, reps: int = 6) -> float:
+    """Warp-mode corpus renders/sec incl. the device->host image fetch.
+
+    The round-4 production file-contract path (rendering/dataset_renderer.py
+    use_warp): identity + extended banks rendered once per pano, then each
+    hypothesis is one Sim(2) warp + one bank gather, fetched as uint8 for
+    JPG encode. The fetch is the in-env bottleneck (axon tunnel, see
+    BENCH_NOTES); on production hosts PCIe makes this compute-bound.
+    """
+    import jax.numpy as jnp
+
+    from salve_tpu.ops import warp as warp_ops
+    from salve_tpu.rendering.bev_pair import (
+        BEVRenderConfig, HOHO_S_ZIND_SCALE_FACTOR, render_identity_batched,
+    )
+
+    render_cfg = BEVRenderConfig()
+    n = depths.shape[0]
+    depths_d, rgbs_d = jnp.asarray(depths), jnp.asarray(rgbs)
+    z_range = (-np.inf, -1.0)
+    bank = warp_ops.pack_rgb888(
+        warp_ops.render_identity_bank_extended(
+            depths_d, rgbs_d, z_range, render_cfg, 2 * render_cfg.img_px
+        )
+    )
+    ident = render_identity_batched(depths_d, rgbs_d, z_range, render_cfg)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        i1 = jnp.asarray(r.integers(0, n, batch_size))
+        i2 = jnp.asarray(r.integers(0, n, batch_size))
+        th = r.uniform(-np.pi, np.pi, batch_size)
+        rot = jnp.asarray(
+            np.stack(
+                [np.stack([np.cos(th), -np.sin(th)], -1),
+                 np.stack([np.sin(th), np.cos(th)], -1)], axis=1
+            ).astype(np.float32)
+        )
+        tr = jnp.asarray(
+            (r.uniform(-2, 2, (batch_size, 2)) * HOHO_S_ZIND_SCALE_FACTOR
+             ).astype(np.float32)
+        )
+        return i1, i2, rot, tr
+
+    def render(i1, i2, rot, tr):
+        imgs1 = warp_ops.warp_bank_auto(bank[i1], rot, tr)
+        imgs2 = ident[i2]
+        for arr in (imgs1, imgs2):
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
+        return imgs1, imgs2
+
+    pending = render(*make_batch(0))  # warmup compile
+    np.asarray(pending[0]), np.asarray(pending[1])
+
+    t0 = time.time()
+    pending = None
+    for i in range(reps):
+        imgs = render(*make_batch(i))
+        if pending is not None:
+            np.asarray(pending[0]), np.asarray(pending[1])
+        pending = imgs
+    np.asarray(pending[0]), np.asarray(pending[1])
+    dt = (time.time() - t0) / reps
+    return batch_size / dt
+
+
 def bench_reference_host(depths, rgbs, num_pairs: int = 2) -> float:
     """Reference-equivalent per-pair render on the host CPU (pairs/sec).
 
@@ -477,6 +544,7 @@ def main() -> None:
     # dispatch with high variance between runs; the faster trial is the
     # better estimate of sustained throughput.
     tpu_pairs_per_sec = max(bench_tpu(depths, rgbs) for _ in range(2))
+    warp_corpus_pairs_per_sec = max(bench_warp_corpus(depths, rgbs) for _ in range(2))
     ref_pairs_per_sec = bench_reference_host(depths, rgbs)
     verifier_pairs_per_sec = bench_verifier()
     fused_hyp_per_sec = bench_fused_render_verify()
@@ -511,6 +579,14 @@ def main() -> None:
                     ),
                     "host_reference_render_pairs_per_sec": round(
                         ref_pairs_per_sec, 3
+                    ),
+                    # Round-4 production corpus path: per-hypothesis Sim(2)
+                    # warp of per-pano banks incl. the u8 image fetch.
+                    "corpus_warp_render_pairs_per_sec": round(
+                        warp_corpus_pairs_per_sec, 2
+                    ),
+                    "corpus_warp_vs_30proc_1chip": round(
+                        warp_corpus_pairs_per_sec / (30 * ref_pairs_per_sec), 2
                     ),
                     # BASELINE.md's >=10x target counts the reference's 30
                     # CPU worker processes, not one (README.md:104): one
