@@ -204,6 +204,20 @@ class TestRenderLayoutPairs:
         assert n2 == 0
 
 
+class TestWriteJpg:
+    def test_byte_identical_to_imageio(self, tmp_path) -> None:
+        """cv2 and imageio/PIL share libjpeg settings at quality 95 — the
+        corpus writer swap must not change a single byte of the contract."""
+        import imageio.v2 as imageio
+
+        from salve_tpu.rendering.dataset_renderer import write_jpg
+
+        img = np.random.default_rng(0).integers(0, 255, (501, 501, 3)).astype(np.uint8)
+        write_jpg(str(tmp_path / "a.jpg"), img)
+        imageio.imwrite(str(tmp_path / "b.jpg"), img, quality=95)
+        assert (tmp_path / "a.jpg").read_bytes() == (tmp_path / "b.jpg").read_bytes()
+
+
 class TestDepthCache:
     def test_missing_cache_raises_without_model(self, tmp_path) -> None:
         from salve_tpu.depth.cache import infer_depth_if_nonexistent
