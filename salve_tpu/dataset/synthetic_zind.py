@@ -154,7 +154,12 @@ def materialize_synthetic_building(
                     @ synthetic_R_FIX,
                 )
             if need_pano:
-                imageio.imwrite(str(pano_fp), out["rgb"], quality=95)
+                # cv2 encode: byte-identical to imageio at q95, 3.6x faster
+                # (dataset_renderer.write_jpg) — pano JPGs are 8x the pixels
+                # of a BEV render, so this is most of materialize's encode.
+                from salve_tpu.rendering.dataset_renderer import write_jpg
+
+                write_jpg(str(pano_fp), out["rgb"])
             if need_depth:
                 depth_fp.parent.mkdir(parents=True, exist_ok=True)
                 if depth_provider is None:
