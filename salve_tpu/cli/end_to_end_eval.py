@@ -137,6 +137,11 @@ def _per_building_verifier(preds_dir: Path) -> dict:
               help="Render the training/eval corpus img1s as Sim(2) warps of "
                    "per-pano identity banks (rendering/dataset_renderer.py; "
                    "default: on for TPU backends).")
+@click.option("--decoded_cache_gb", type=float, default=None,
+              help="In-RAM decoded-image cache budget for the train loop "
+                   "(TrainingConfig.decoded_cache_gb; default 8). The "
+                   "reference 234px recipe over a ~55k-pair corpus needs "
+                   "~18 GB to avoid per-epoch JPEG re-decodes.")
 @click.option("--stage_d_only", is_flag=True, default=False,
               help="Reuse an existing output_dir (hypotheses + serialized "
                    "preds from a prior full run) and re-run only Stage D — "
@@ -148,7 +153,8 @@ def run_end_to_end_eval(
     confidence_threshold, method, modalities, procedural_train_buildings,
     procedural_val_buildings, eval_procedural_buildings,
     photometric_augmentation, append_pair_difference,
-    calibrate_on_val, warp_corpus, resume_ckpt, finetune_ckpt, stage_d_only,
+    calibrate_on_val, warp_corpus, resume_ckpt, finetune_ckpt,
+    decoded_cache_gb, stage_d_only,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     if num_epochs == 0 and not (finetune_ckpt or resume_ckpt) and not stage_d_only:
@@ -302,6 +308,8 @@ def run_end_to_end_eval(
         # --train_building 1210 --eval_building 0000) actually flip.
         split_overrides={train_building: "train", eval_building: "test"},
     )
+    if decoded_cache_gb is not None:
+        cfg.decoded_cache_gb = decoded_cache_gb
     if num_epochs == 0:
         # Eval-only (validated up front): score an existing checkpoint on
         # the (possibly widened) test split without any Stage-C training.
