@@ -38,6 +38,8 @@ def merge_clusters(
     i2Si1_dict_consistent: Dict[Tuple[int, int], Sim2],
     two_view_reports_dict,
     pano_layouts: Optional[Dict[int, np.ndarray]] = None,
+    all_nodes: Optional[Set[int]] = None,
+    min_conf: float = 0.0,
 ) -> Optional[Dict[Tuple[int, int], Sim2]]:
     """Try to join the two largest CCs with one low-confidence edge.
 
@@ -48,11 +50,20 @@ def merge_clusters(
         pano_layouts: pano ID -> (N,2) room vertices (pano-local frame),
             used for the wall-penetration acceptance check. If None, the
             most confident crossing is accepted unconditionally.
+        all_nodes: optional full pano universe. Nodes present here (or in
+            `i2Si1_dict`) but untouched by any verified edge are treated as
+            singleton components, so fully-unlocalized panos can be rescued
+            too — not only split clusters.
+        min_conf: rescue floor — crossings whose verifier confidence is
+            below this are never accepted.
 
     Returns:
         Augmented edge dict (copy) if a merge was accepted, else None.
     """
     ccs = sorted(get_connected_components(i2Si1_dict_consistent.keys()), key=len, reverse=True)
+    covered = {p for cc in ccs for p in cc}
+    universe = set(all_nodes or ()) | {p for k in i2Si1_dict for p in k}
+    ccs += [{p} for p in sorted(universe - covered)]
     if len(ccs) < 2:
         return None
     cc0, cc1 = ccs[0], ccs[1]
@@ -70,9 +81,12 @@ def merge_clusters(
         if pano_to_cc[i1] == pano_to_cc[i2]:
             continue
         if (i1 in cc0 or i1 in cc1) and (i2 in cc0 or i2 in cc1):
-            crossings.append((i1, i2))
             report = two_view_reports_dict.get((i1, i2))
-            confs.append(report.confidence if report is not None else 0.0)
+            conf = report.confidence if report is not None else 0.0
+            if conf < min_conf:
+                continue
+            crossings.append((i1, i2))
+            confs.append(conf)
 
     if not crossings:
         return None

@@ -147,6 +147,12 @@ def _per_building_verifier(preds_dir: Path) -> dict:
                    "preds from a prior full run) and re-run only Stage D — "
                    "for confidence-threshold / method sweeps without "
                    "retraining. Writes a suffixed summary JSON.")
+@click.option("--rescue_clusters", is_flag=True, default=False,
+              help="Stage D connectivity rescue: re-join split components / "
+                   "stranded panos with the most confident sub-threshold "
+                   "crossings, gated by the wall-penetration validity check "
+                   "(algorithms/cluster_merging.py). Applied consistently to "
+                   "the calibration sweep and the held-out reconstruction.")
 def run_end_to_end_eval(
     src_zind_dir, output_dir, train_building, eval_building, num_layers,
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
@@ -154,7 +160,7 @@ def run_end_to_end_eval(
     procedural_val_buildings, eval_procedural_buildings,
     photometric_augmentation, append_pair_difference,
     calibrate_on_val, warp_corpus, resume_ckpt, finetune_ckpt,
-    decoded_cache_gb, stage_d_only,
+    decoded_cache_gb, stage_d_only, rescue_clusters,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     if num_epochs == 0 and not (finetune_ckpt or resume_ckpt) and not stage_d_only:
@@ -177,7 +183,7 @@ def run_end_to_end_eval(
     if stage_d_only:
         _run_stage_d_only(
             out, hyp_root, raw_dir, preds_dir, plots_dir, method,
-            confidence_threshold, t_start,
+            confidence_threshold, t_start, rescue_clusters,
         )
         return
 
@@ -340,6 +346,7 @@ def run_end_to_end_eval(
         t0 = time.time()
         calibration_summary, confidence_threshold = _calibrate_on_val_split(
             cfg, ckpt_fpath, out, hyp_root, raw_dir, plots_dir, method,
+            rescue_clusters=rescue_clusters,
         )
         timings["calibration_s"] = round(time.time() - t0, 2)
         logger.info(
@@ -358,6 +365,7 @@ def run_end_to_end_eval(
         allowed_wdo_types=["door", "window", "opening"],
         predictions_data_root=None,
         plot_save_dir=str(plots_dir),
+        rescue_clusters=rescue_clusters,
     )
     timings["stage_d_s"] = round(time.time() - t0, 2)
 
@@ -394,6 +402,7 @@ def run_end_to_end_eval(
             for k, v in floor_reconstruction_report.summarize_reports(reports).items()
         },
         "method": method,
+        "rescue_clusters": rescue_clusters,
         "confidence_threshold": confidence_threshold,
         "calibration": calibration_summary,
         "warp_corpus": warp_corpus,
@@ -408,6 +417,7 @@ def run_end_to_end_eval(
 def _calibrate_on_val_split(
     cfg, ckpt_fpath, out, hyp_root, raw_dir, plots_dir, method,
     threshold_grid=(0.5, 0.6, 0.7, 0.8, 0.9, 0.93),
+    rescue_clusters=False,
 ):
     """Fit temperature + freeze ONE operating point using the val split only.
 
@@ -455,6 +465,7 @@ def _calibrate_on_val_split(
             allowed_wdo_types=["door", "window", "opening"],
             predictions_data_root=None,
             plot_save_dir=str(plots_dir / f"val_calib_{t_cal:g}"),
+            rescue_clusters=rescue_clusters,
         )
         ious = [r.floorplan_iou for r in reports if r.floorplan_iou is not None]
         locs = [
@@ -484,7 +495,7 @@ def _calibrate_on_val_split(
 
 def _run_stage_d_only(
     out, hyp_root, raw_dir, preds_dir, plots_dir, method,
-    confidence_threshold, t_start,
+    confidence_threshold, t_start, rescue_clusters=False,
 ) -> None:
     """Stage D over a prior run's hypotheses + serialized predictions."""
     from salve_tpu.cli.run_sfm import run_incremental_reconstruction
@@ -503,12 +514,14 @@ def _run_stage_d_only(
         allowed_wdo_types=["door", "window", "opening"],
         predictions_data_root=None,
         plot_save_dir=str(plots_dir),
+        rescue_clusters=rescue_clusters,
     )
     from salve_tpu.common import floor_reconstruction_report
 
     summary = {
         "stage_d_only": True,
         "method": method,
+        "rescue_clusters": rescue_clusters,
         "confidence_threshold": confidence_threshold,
         "reconstruction": [_report_dict(r) for r in reports],
         "reconstruction_summary": {
@@ -518,6 +531,8 @@ def _run_stage_d_only(
         "total_wallclock_s": round(time.time() - t_start, 2),
     }
     tag = f"{method}_conf{confidence_threshold:g}"
+    if rescue_clusters:
+        tag += "_rescue"
     with open(out / f"end_to_end_eval_stage_d_{tag}.json", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

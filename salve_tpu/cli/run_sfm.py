@@ -131,6 +131,8 @@ def run_incremental_reconstruction(
     filter_edges_by_global_local_consistency: bool = False,
     filter_edges_by_random_spanning_trees: bool = False,
     plot_save_dir: Optional[str] = None,
+    rescue_clusters: bool = False,
+    rescue_min_conf: float = 0.5,
 ) -> List[FloorReconstructionReport]:
     """Run global optimization for every floor with serialized predictions."""
     if plot_save_dir is None:
@@ -219,6 +221,64 @@ def run_incremental_reconstruction(
                 two_view_reports_dict=two_view_reports_dict,
                 max_allowed_deviation_deg=5.0,
             )
+
+        if rescue_clusters:
+            # Connectivity rescue: when the thresholded edge graph splits the
+            # floor into several components (or strands panos entirely), pull
+            # the most confident sub-threshold crossings back in, one at a
+            # time, each gated by the wall-penetration validity check — so a
+            # verifier false negative on a bridge edge (e.g. a doorway-only
+            # connection between two wings) no longer strands whole wings.
+            # The reference's cluster_merging is WIP (pdb at :176) and only
+            # reachable from its filtered_spanning_tree branch; here the
+            # completed flow backs every aggregation method, iterated until
+            # no acceptable crossing remains.
+            # Candidate pool: POSITIVE predictions above the rescue floor
+            # (y_hat==0 entries carry the negative class's confidence — a
+            # confidently-rejected pose must never be ranked as a confident
+            # crossing).
+            rescue_pool = edge_classification.get_conf_thresholded_edge_measurements(
+                measurements, rescue_min_conf
+            )
+            (
+                i2Si1_all,
+                two_view_all,
+                per_edge_wdo_all,
+                ec_all,
+            ) = edge_classification.get_most_likely_relative_pose_per_edge(
+                rescue_pool, gt_floor_pose_graph
+            )
+            if use_axis_alignment and inferred_floor_pose_graph is not None:
+                i2Si1_all = axis_alignment.align_pairs_by_vanishing_angle(
+                    i2Si1_dict=i2Si1_all,
+                    inferred_floor_pose_graph=inferred_floor_pose_graph,
+                    per_edge_wdo_dict=per_edge_wdo_all,
+                )
+            rescue_layouts = {
+                i: np.asarray(pano.room_vertices_local_2d)
+                for i, pano in gt_floor_pose_graph.nodes.items()
+            }
+            n_rescued = 0
+            while True:
+                merged = cluster_merging.merge_clusters(
+                    i2Si1_all, i2Si1_dict, two_view_all,
+                    pano_layouts=rescue_layouts,
+                    all_nodes=set(gt_floor_pose_graph.nodes.keys()),
+                    min_conf=rescue_min_conf,
+                )
+                if merged is None:
+                    break
+                for edge in set(merged) - set(i2Si1_dict):
+                    high_conf_inlier_measurements.append(ec_all[edge])
+                    two_view_reports_dict[edge] = two_view_all[edge]
+                    per_edge_wdo_dict[edge] = per_edge_wdo_all[edge]
+                    n_rescued += 1
+                i2Si1_dict = merged
+            if n_rescued:
+                logger.info(
+                    "Cluster rescue: accepted %d sub-threshold crossing(s).",
+                    n_rescued,
+                )
 
         _t_stage = _time.time()
         if method == "spanning_tree":
@@ -336,6 +396,11 @@ def run_incremental_reconstruction(
               help="Refine relative poses by estimated vanishing angles.")
 @click.option("--filter_edges_by_global_local_consistency", type=bool, default=False)
 @click.option("--filter_edges_by_random_spanning_trees", type=bool, default=False)
+@click.option("--rescue_clusters", type=bool, default=False,
+              help="Re-join split components / stranded panos with the most "
+                   "confident sub-threshold crossings (wall-penetration gated).")
+@click.option("--rescue_min_conf", type=float, default=0.5,
+              help="Confidence floor below which crossings are never rescued.")
 def launch_run_incremental_reconstruction(
     serialized_preds_json_dir,
     raw_dataset_dir,
@@ -346,6 +411,8 @@ def launch_run_incremental_reconstruction(
     use_axis_alignment,
     filter_edges_by_global_local_consistency,
     filter_edges_by_random_spanning_trees,
+    rescue_clusters,
+    rescue_min_conf,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     run_incremental_reconstruction(
@@ -359,6 +426,8 @@ def launch_run_incremental_reconstruction(
         predictions_data_root=mhnet_predictions_data_root,
         filter_edges_by_global_local_consistency=filter_edges_by_global_local_consistency,
         filter_edges_by_random_spanning_trees=filter_edges_by_random_spanning_trees,
+        rescue_clusters=rescue_clusters,
+        rescue_min_conf=rescue_min_conf,
     )
 
 

@@ -44,6 +44,56 @@ def test_merge_returns_none_without_crossing_edges():
     assert merged is None
 
 
+def test_merge_respects_min_conf_floor():
+    consistent = {(0, 1): _s2(1, 0), (2, 3): _s2(1, 0)}
+    low_conf = dict(consistent)
+    low_conf[(1, 2)] = _s2(0, 1)
+    reports = {(1, 2): TwoViewEstimationReport(gt_class=1, confidence=0.45)}
+    assert merge_clusters(low_conf, consistent, reports, min_conf=0.5) is None
+    merged = merge_clusters(low_conf, consistent, reports, min_conf=0.4)
+    assert merged is not None and (1, 2) in merged
+
+
+def test_merge_rescues_stranded_singleton_pano():
+    """A pano with every verified edge rejected is a singleton component and
+    can still be pulled in through `all_nodes` (0010 forensics: panos whose
+    only connections run through one hub get stranded by verifier FNs)."""
+    consistent = {(0, 1): _s2(1, 0), (1, 2): _s2(1, 0)}
+    low_conf = dict(consistent)
+    low_conf[(2, 3)] = _s2(0, 1)  # pano 3 appears in no verified edge
+    reports = {(2, 3): TwoViewEstimationReport(gt_class=1, confidence=0.8)}
+    # Without the node universe the singleton is invisible -> no merge.
+    assert merge_clusters(low_conf, consistent, reports) is not None  # via edge key
+    # Remove the crossing from low_conf keys' implicit universe by passing
+    # all_nodes explicitly: panos {0,1,2,3} with 3 uncovered.
+    merged = merge_clusters(
+        low_conf, consistent, reports, all_nodes={0, 1, 2, 3}
+    )
+    assert merged is not None and (2, 3) in merged
+
+
+def test_iterated_merge_joins_three_components():
+    """Iterating merge_clusters (the run_sfm rescue loop) heals >2 splits."""
+    consistent = {(0, 1): _s2(1, 0), (2, 3): _s2(1, 0), (4, 5): _s2(1, 0)}
+    low_conf = dict(consistent)
+    low_conf[(1, 2)] = _s2(0, 1)
+    low_conf[(3, 4)] = _s2(0, 1)
+    reports = {
+        (1, 2): TwoViewEstimationReport(gt_class=1, confidence=0.9),
+        (3, 4): TwoViewEstimationReport(gt_class=1, confidence=0.8),
+    }
+    cur = consistent
+    added = []
+    while True:
+        merged = merge_clusters(low_conf, cur, reports)
+        if merged is None:
+            break
+        added += sorted(set(merged) - set(cur))
+        cur = merged
+    assert added == [(1, 2), (3, 4)]
+    assert len(get_connected_components(cur.keys())) == 1
+
+
 def test_merge_rejects_crossing_that_penetrates_walls():
     """With layouts given, a merge overlaying both rooms exactly is rejected."""
     square = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]])

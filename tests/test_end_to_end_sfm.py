@@ -84,6 +84,70 @@ class TestEndToEndSfM:
     def test_hypotheses_and_predictions_exist(self, sfm_workspace) -> None:
         assert sfm_workspace["num_positive"] > 0
 
+    def test_rescue_clusters_recovers_split_floor(self, sfm_workspace) -> None:
+        """Verifier FNs on every bridge edge strand half the floor; the
+        connectivity rescue (sub-threshold crossings gated by the
+        wall-penetration check) must win localization back. Models the
+        building-0010 failure: panos 8-12 reachable only through pano 7,
+        all three (7,x) crossings rejected -> 61.5% localized."""
+        preds = json.load(
+            open(Path(sfm_workspace["preds_dir"]) / "batch_0.json")
+        )
+        # Demote every GT-positive edge that crosses the median pano id to
+        # sub-threshold confidence (0.7 < 0.93, above the 0.5 rescue floor).
+        pano_ids = set()
+        pairs = []
+        for fp0 in preds["fp0"]:
+            i1 = int(Path(fp0).stem.split("_pano_")[-1])
+            pano_ids.add(i1)
+        for fp1 in preds["fp1"]:
+            pano_ids.add(int(Path(fp1).stem.split("_pano_")[-1]))
+        cut = float(np.median(sorted(pano_ids)))
+        probs = list(preds["y_hat_probs"])
+        n_demoted = 0
+        for k, (fp0, fp1, y) in enumerate(
+            zip(preds["fp0"], preds["fp1"], preds["y_true"])
+        ):
+            i1 = int(Path(fp0).stem.split("_pano_")[-1])
+            i2 = int(Path(fp1).stem.split("_pano_")[-1])
+            if y == 1 and (i1 <= cut) != (i2 <= cut):
+                probs[k] = 0.7
+                n_demoted += 1
+        assert n_demoted > 0, "fixture has no cross-partition positives"
+        demoted_dir = sfm_workspace["tmp_path"] / "preds_fn_bridges"
+        demoted_dir.mkdir(exist_ok=True)
+        save_json_file(
+            str(demoted_dir / "batch_0.json"), {**preds, "y_hat_probs": probs}
+        )
+
+        def run(rescue: bool):
+            reports = run_incremental_reconstruction(
+                hypotheses_save_root=sfm_workspace["hyp_root"],
+                serialized_preds_json_dir=str(demoted_dir),
+                raw_dataset_dir=sfm_workspace["raw_dataset_dir"],
+                method="pose2_slam",
+                confidence_threshold=0.93,
+                use_axis_alignment=False,
+                allowed_wdo_types=["door", "window", "opening"],
+                predictions_data_root=None,
+                plot_save_dir=str(
+                    sfm_workspace["tmp_path"] / f"plots_rescue_{rescue}"
+                ),
+                rescue_clusters=rescue,
+            )
+            locs = [
+                r.percent_panos_localized
+                for r in reports
+                if np.isfinite(r.avg_abs_rot_err)
+            ]
+            return float(np.mean(locs)) if locs else 0.0
+
+        loc_plain, loc_rescued = run(False), run(True)
+        assert loc_rescued > loc_plain, (
+            f"rescue did not improve localization ({loc_plain} -> {loc_rescued})"
+        )
+        assert loc_rescued > 90.0
+
     @pytest.mark.parametrize("method", ["spanning_tree", "pgo", "SE2_cycles", "filtered_spanning_tree"])
     def test_reconstruction(self, sfm_workspace, method) -> None:
         reports = run_incremental_reconstruction(
