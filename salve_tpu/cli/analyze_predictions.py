@@ -146,6 +146,29 @@ def classify_fp_families(
     return out
 
 
+def _components(nodes, edges):
+    """Connected components (list of sorted lists, largest first)."""
+    adj = {n: set() for n in nodes}
+    for i, j in edges:
+        adj.setdefault(i, set()).add(j)
+        adj.setdefault(j, set()).add(i)
+    seen, comps = set(), []
+    for n in adj:
+        if n in seen:
+            continue
+        stack, comp = [n], set()
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(adj[u] - comp)
+        seen |= comp
+        comps.append(sorted(comp))
+    comps.sort(key=len, reverse=True)
+    return comps
+
+
 def analyze_floor(records, thresholds):
     """Hypothesis- and edge-level stats for one floor's records."""
     pos = [r for r in records if r["y_true"] == 1]
@@ -155,10 +178,12 @@ def analyze_floor(records, thresholds):
         cur = best_by_edge.get(r["edge"])
         if cur is None or r["p_pos"] > cur["p_pos"]:
             best_by_edge[r["edge"]] = r
+    panos = sorted({p for r in records for p in r["edge"]})
     out = {
         "n_hypotheses": len(records),
         "n_gt_pos_hyps": len(pos),
         "n_gt_pos_edges": len(best_by_edge),
+        "n_panos": len(panos),
         "thresholds": {},
     }
     for th in thresholds:
@@ -189,6 +214,39 @@ def analyze_floor(records, thresholds):
             ],
             "fn_hyps_by_kind": {f"{w}/{c}": n for (w, c), n in fn_kinds.items()},
             "fp_hyps_by_kind": {f"{w}/{c}": n for (w, c), n in fp_kinds.items()},
+        }
+        # Graph-level consequence: components of the edge graph Stage D
+        # would actually see at this threshold (ANY accepted hypothesis
+        # keeps an edge alive, true or false), which panos are stranded
+        # outside the largest component, and which lost GT-positive edges
+        # are the BRIDGES whose acceptance would re-join components — the
+        # audit that located building 0010's hub-pano failure (three
+        # single-hypothesis crossings through one pano strand five panos).
+        accepted_edges = {r["edge"] for r in records if r["p_pos"] >= th}
+        comps = _components(panos, accepted_edges)
+        comp_of = {p: ci for ci, comp in enumerate(comps) for p in comp}
+        bridge_fns = [
+            {
+                "edge": list(k),
+                "best_p": round(best_by_edge[k]["p_pos"], 3),
+                "joins_component_sizes": sorted(
+                    (len(comps[comp_of[k[0]]]), len(comps[comp_of[k[1]]]))
+                ),
+            }
+            for k in sorted(best_by_edge)
+            if best_by_edge[k]["p_pos"] < th
+            and comp_of[k[0]] != comp_of[k[1]]
+        ]
+        out["thresholds"][th]["connectivity"] = {
+            "n_components": len(comps),
+            "component_sizes": [len(c) for c in comps],
+            "pct_in_largest_cc": round(
+                100.0 * len(comps[0]) / max(len(panos), 1), 1
+            ) if comps else 0.0,
+            "stranded_panos": sorted(
+                p for p in panos if comps and comp_of[p] != 0
+            ),
+            "bridge_fn_edges": bridge_fns,
         }
     return out
 
@@ -295,6 +353,19 @@ def main(
                     f"    lost {tuple(d['edge'])}: best_p={d['best_p']} "
                     f"{d['wdo']}/{d['config']} rooms {d['rooms']}"
                 )
+            conn = st.get("connectivity")
+            if conn and conn["n_components"] > 1:
+                click.echo(
+                    f"    components: {conn['component_sizes']} "
+                    f"({conn['pct_in_largest_cc']}% in largest); "
+                    f"stranded panos {conn['stranded_panos']}"
+                )
+                for b in conn["bridge_fn_edges"]:
+                    click.echo(
+                        f"    bridge FN {tuple(b['edge'])}: "
+                        f"best_p={b['best_p']} joins component sizes "
+                        f"{b['joins_component_sizes']}"
+                    )
             if st["fn_hyps_by_kind"]:
                 click.echo(f"    FN by kind: {st['fn_hyps_by_kind']}")
             if st["fp_hyps_by_kind"]:

@@ -10,6 +10,7 @@ import json
 import numpy as np
 
 from salve_tpu.cli.analyze_predictions import (
+    analyze_floor,
     classify_fp_families,
     load_hypothesis_records,
 )
@@ -49,6 +50,46 @@ class TestLoadHypothesisRecords:
         assert recs[0]["wdo"] == "opening"
         assert recs[0]["wdo_idxs"] == (2, 0)
         assert recs[0]["edge"] == (3, 5)
+
+
+class TestConnectivityAudit:
+    def test_bridge_fn_edges_and_stranded_panos(self) -> None:
+        """The 0010 failure shape: a wing reachable only through one hub.
+        Edges (0,1),(1,2) confident; (2,3) is a GT-positive bridge below
+        threshold; (3,4) confident within the stranded wing."""
+
+        def rec(edge, p, y=1):
+            return {
+                "y_true": y, "p_pos": p, "wdo": "door", "wdo_idxs": (0, 0),
+                "config": "identity", "floor": "floor_01",
+                "rooms": ("01", "02"), "edge": edge,
+            }
+
+        records = [
+            rec((0, 1), 0.99), rec((1, 2), 0.98),
+            rec((2, 3), 0.7),               # bridge FN at 0.93
+            rec((3, 4), 0.97),
+            rec((0, 4), 0.99, y=0),          # accepted FP also keeps edges
+        ]
+        out = analyze_floor(records, [0.93])
+        conn = out["thresholds"][0.93]["connectivity"]
+        # The FP edge (0,4) joins the wing back -> single component.
+        assert conn["n_components"] == 1
+        # Without the FP: two components, (2,3) is the bridge FN.
+        out2 = analyze_floor(records[:4], [0.93])
+        conn2 = out2["thresholds"][0.93]["connectivity"]
+        assert conn2["n_components"] == 2
+        assert conn2["component_sizes"] == [3, 2]
+        assert conn2["stranded_panos"] == [3, 4]
+        assert conn2["pct_in_largest_cc"] == 60.0
+        assert conn2["bridge_fn_edges"] == [
+            {"edge": [2, 3], "best_p": 0.7, "joins_component_sizes": [2, 3]}
+        ]
+        # At a permissive threshold everything is one component.
+        conn3 = analyze_floor(records[:4], [0.5])["thresholds"][0.5][
+            "connectivity"
+        ]
+        assert conn3["n_components"] == 1 and not conn3["bridge_fn_edges"]
 
 
 class TestClassifyFpFamilies:
