@@ -240,11 +240,14 @@ def planar_slam(
     # Prior goes on the first localized pano (pose2_slam.py:103-106).
     prior_idx = 0
 
-    odo = [
-        m
-        for m in i2Ti1_measurements
-        if wTi_list_init[m.i1] is not None and wTi_list_init[m.i2] is not None
-    ]
+    def _localized(pid: int) -> bool:
+        # Edge-filtering stages (cycle / global-local consistency) can leave
+        # measurements referencing panos beyond the spanning tree's range —
+        # treat out-of-range ids as un-localized rather than indexing past
+        # the init list.
+        return pid < n and wTi_list_init[pid] is not None
+
+    odo = [m for m in i2Ti1_measurements if _localized(m.i1) and _localized(m.i2)]
     odo_idx = np.array([[id2idx[m.i1], id2idx[m.i2]] for m in odo], dtype=np.int32).reshape(-1, 2)
     odo_meas = np.array(
         [[m.i2Ti1.x, m.i2Ti1.y, m.i2Ti1.theta] for m in odo], dtype=np.float64
@@ -263,7 +266,7 @@ def planar_slam(
             [np.asarray(landmark_positions_init[lid], dtype=np.float64) for lid in lm_ids]
         ).reshape(-1, 2)
         brms = [
-            b for b in landmark_measurements if wTi_list_init[b.pano_id] is not None
+            b for b in landmark_measurements if _localized(b.pano_id)
         ]
         brm_idx = np.array(
             [[id2idx[b.pano_id], lid2idx[b.l_idx]] for b in brms], dtype=np.int32

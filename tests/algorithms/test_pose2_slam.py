@@ -106,6 +106,25 @@ def test_planar_slam_with_landmarks() -> None:
         assert np.allclose(landmark_positions[k], expected_lms[k], atol=1e-6)
 
 
+def test_measurement_beyond_init_list_is_ignored() -> None:
+    """Edge-filtering stages (cycle / global-local consistency) can leave
+    measurements referencing panos beyond the spanning tree's pose list —
+    they must be dropped, not crash with IndexError."""
+    wTi_list_init = [Pose2(0.0, 0.0, 0.0), Pose2(2.1, 0.0, 0.0)]
+    i2Ti1_measurements = [
+        OdometryMeasurement(i1=0, i2=1, i2Ti1=Pose2(2.0, 0.0, 0.0).inverse()),
+        # Pano 7 does not exist in the init list.
+        OdometryMeasurement(i1=1, i2=7, i2Ti1=Pose2(2.0, 0.0, 0.0).inverse()),
+    ]
+    wTi_list, _ = pose2_slam.planar_slam(
+        wTi_list_init, i2Ti1_measurements,
+        landmark_positions_init={}, landmark_measurements=[],
+        optimize_poses_only=True, use_robust=False,
+    )
+    assert len(wTi_list) == 2
+    assert abs(wTi_list[1].x - 2.0) < 0.1
+
+
 def test_all_unlocalized() -> None:
     wTi_list, lms = pose2_slam.planar_slam([None, None], [], {}, [], True)
     assert wTi_list == [None, None]
