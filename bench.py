@@ -89,13 +89,14 @@ def bench_tpu(depths, rgbs, batch_size: int = 32, reps: int = 6) -> float:
 
 
 def bench_warp_corpus(depths, rgbs, batch_size: int = 64, reps: int = 6) -> float:
-    """Warp-mode corpus renders/sec incl. the device->host image fetch.
-
-    The round-4 production file-contract path (rendering/dataset_renderer.py
-    use_warp): identity + extended banks rendered once per pano, then each
-    hypothesis is one Sim(2) warp + one bank gather, fetched as uint8 for
-    JPG encode. The fetch is the in-env bottleneck (axon tunnel, see
-    BENCH_NOTES); on production hosts PCIe makes this compute-bound.
+    """Warp-mode corpus renders/sec — the round-4 production file-contract
+    path (rendering/dataset_renderer.py use_warp): identity + extended
+    banks rendered on device and fetched ONCE per pano bank, then every
+    hypothesis is a HOST-side Sim(2) gather warp (ops/warp.py
+    warp_bank_sim2_nn_host). Only ~N_panos images cross the device->host
+    link instead of ~N_hypotheses, which removes the axon-tunnel transfer
+    bound the per-pair-fetch design had. The reported rate amortizes the
+    one-time bank render+fetch over the hypothesis stream.
     """
     import jax.numpy as jnp
 
@@ -108,51 +109,44 @@ def bench_warp_corpus(depths, rgbs, batch_size: int = 64, reps: int = 6) -> floa
     n = depths.shape[0]
     depths_d, rgbs_d = jnp.asarray(depths), jnp.asarray(rgbs)
     z_range = (-np.inf, -1.0)
-    bank = warp_ops.pack_rgb888(
-        warp_ops.render_identity_bank_extended(
-            depths_d, rgbs_d, z_range, render_cfg, 2 * render_cfg.img_px
+    t_bank = time.time()
+    bank = np.asarray(
+        warp_ops.pack_rgb888(
+            warp_ops.render_identity_bank_extended(
+                depths_d, rgbs_d, z_range, render_cfg, 2 * render_cfg.img_px
+            )
         )
     )
-    ident = render_identity_batched(depths_d, rgbs_d, z_range, render_cfg)
+    ident = np.asarray(
+        render_identity_batched(depths_d, rgbs_d, z_range, render_cfg)
+    )
+    t_bank = time.time() - t_bank
 
     def make_batch(seed):
         r = np.random.default_rng(seed)
-        i1 = jnp.asarray(r.integers(0, n, batch_size))
-        i2 = jnp.asarray(r.integers(0, n, batch_size))
+        i1 = r.integers(0, n, batch_size)
+        i2 = r.integers(0, n, batch_size)
         th = r.uniform(-np.pi, np.pi, batch_size)
-        rot = jnp.asarray(
-            np.stack(
-                [np.stack([np.cos(th), -np.sin(th)], -1),
-                 np.stack([np.sin(th), np.cos(th)], -1)], axis=1
-            ).astype(np.float32)
-        )
-        tr = jnp.asarray(
-            (r.uniform(-2, 2, (batch_size, 2)) * HOHO_S_ZIND_SCALE_FACTOR
-             ).astype(np.float32)
-        )
+        rot = np.stack(
+            [np.stack([np.cos(th), -np.sin(th)], -1),
+             np.stack([np.sin(th), np.cos(th)], -1)], axis=1
+        ).astype(np.float32)
+        tr = (r.uniform(-2, 2, (batch_size, 2)) * HOHO_S_ZIND_SCALE_FACTOR
+              ).astype(np.float32)
         return i1, i2, rot, tr
 
-    def render(i1, i2, rot, tr):
-        imgs1 = warp_ops.warp_bank_auto(bank[i1], rot, tr)
-        imgs2 = ident[i2]
-        for arr in (imgs1, imgs2):
-            if hasattr(arr, "copy_to_host_async"):
-                arr.copy_to_host_async()
-        return imgs1, imgs2
-
-    pending = render(*make_batch(0))  # warmup compile
-    np.asarray(pending[0]), np.asarray(pending[1])
-
     t0 = time.time()
-    pending = None
     for i in range(reps):
-        imgs = render(*make_batch(i))
-        if pending is not None:
-            np.asarray(pending[0]), np.asarray(pending[1])
-        pending = imgs
-    np.asarray(pending[0]), np.asarray(pending[1])
-    dt = (time.time() - t0) / reps
-    return batch_size / dt
+        i1, i2, rot, tr = make_batch(i)
+        imgs1 = warp_ops.warp_bank_sim2_nn_host(bank, rot, tr, bank_idx=i1)
+        imgs2 = ident[i2]
+        imgs1.sum(), imgs2.sum()  # touch
+    warp_dt = (time.time() - t0) / reps
+    # Amortize the bank setup over a production-scale hypothesis count
+    # (~100 hypotheses per pano per surface, BENCH_NOTES round 3).
+    hyps_per_bank = 100 * n
+    per_pair = warp_dt / batch_size + t_bank / hyps_per_bank
+    return 1.0 / per_pair
 
 
 def bench_reference_host(depths, rgbs, num_pairs: int = 2) -> float:

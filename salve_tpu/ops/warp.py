@@ -138,6 +138,92 @@ def warp_bank_sim2_nn(
     return out
 
 
+_HOST_GRID_CACHE: dict = {}
+
+
+def warp_bank_sim2_nn_host(
+    bank_packed: "np.ndarray",
+    i2Ri1: "np.ndarray",
+    i2ti1_scaled: "np.ndarray",
+    dst_img_px: int = bev_ops.DEFAULT_BEV_IMG_PX,
+    meters_per_px: float = bev_ops.DEFAULT_METERS_PER_PX,
+    bank_idx: "np.ndarray | None" = None,
+) -> "np.ndarray":
+    """Numpy mirror of warp_bank_sim2_nn (bit-exact, tested) for HOST warps.
+
+    The corpus-write path (rendering/dataset_renderer.py) must land every
+    image on the host anyway; fetching the per-pano banks ONCE and warping
+    host-side moves ~N_panos images across the device->host link instead of
+    ~N_hypotheses (~100x less — through the axon tunnel the per-pair fetch,
+    not the render, is the corpus bottleneck). The device paths
+    (warp_bank_auto: Pallas shear / XLA gather) remain for fused inference,
+    where the warped image feeds the verifier without leaving the device.
+
+    Args:
+        bank_packed: (B, Hs, Ws) int32 packed rgb888, one source per output
+            image — or, with `bank_idx`, the full (P, Hs, Ws) pano bank.
+        bank_idx: optional (B,) indices into a (P, ...) `bank_packed`; the
+            gather then reads the full bank in place instead of first
+            materializing a (B, Hs, Ws) copy (each source image is ~4 MB —
+            the copy dominated the warp at corpus batch sizes).
+    """
+    import numpy as np
+
+    packed = bank_packed
+    if bank_idx is None:
+        b, src_h, src_w = packed.shape
+    else:
+        b = len(bank_idx)
+        _, src_h, src_w = packed.shape
+    dst_h = dst_w = dst_img_px + 1
+    half_dst = int((dst_img_px / 2) * meters_per_px)
+    half_src = int(((src_h - 1) / 2) * meters_per_px)
+
+    key = (dst_h, dst_w, float(meters_per_px), half_dst)
+    w = _HOST_GRID_CACHE.get(key)
+    if w is None:
+        px = np.broadcast_to(
+            np.arange(dst_w, dtype=np.float32)[None, :], (dst_h, dst_w)
+        )
+        py_stored = np.broadcast_to(
+            np.arange(dst_h, dtype=np.float32)[:, None], (dst_h, dst_w)
+        )
+        py = (dst_h - 1) - py_stored
+        wx = px * np.float32(meters_per_px) - np.float32(half_dst)
+        wy = py * np.float32(meters_per_px) - np.float32(half_dst)
+        w = np.stack([wx, wy], axis=-1)  # (H, W, 2)
+        _HOST_GRID_CACHE[key] = w
+    w_rel = w[None] - i2ti1_scaled.astype(np.float32)[:, None, None, :]
+    w_src = np.einsum(
+        "bji,bhwj->bhwi", i2Ri1.astype(np.float32), w_rel
+    ).astype(np.float32)
+
+    qx = np.round(
+        (w_src[..., 0] + np.float32(half_src)) / np.float32(meters_per_px)
+    ).astype(np.int32)
+    qy = np.round(
+        (w_src[..., 1] + np.float32(half_src)) / np.float32(meters_per_px)
+    ).astype(np.int32)
+    inb = (qx >= 0) & (qx < src_w) & (qy >= 0) & (qy < src_h)
+    qy_stored = (src_h - 1) - qy
+
+    flat = np.where(inb, qy_stored * src_w + qx, 0)
+    if bank_idx is None:
+        got = np.take_along_axis(
+            packed.reshape(b, src_h * src_w), flat.reshape(b, -1), axis=1
+        ).reshape(b, dst_h, dst_w)
+    else:
+        page = np.asarray(bank_idx, dtype=np.int64)[:, None, None] * (
+            src_h * src_w
+        )
+        got = packed.reshape(-1)[page + flat]
+    got = np.where(inb, got, 0)
+
+    return np.stack(
+        [(got >> 16) & 0xFF, (got >> 8) & 0xFF, got & 0xFF], axis=-1
+    ).astype(np.uint8)
+
+
 def render_identity_bank_extended(
     depths: jnp.ndarray,
     rgbs: jnp.ndarray,

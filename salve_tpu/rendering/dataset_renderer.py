@@ -235,13 +235,24 @@ def _render_texture_pairs_batched(
             # One full render per pano per surface: the identity render (img2
             # for every hypothesis touching this pano) and the 2x-extent warp
             # source (packed rgb888 so the per-hypothesis gather is 1 word).
-            warp_banks[surface_type] = warp_ops.pack_rgb888(
-                warp_ops.render_identity_bank_extended(
-                    depths_d, rgbs_d, z_range, render_cfg, bank_px
-                )
+            # Fetched to the HOST once per building: the corpus output is
+            # host-side JPGs anyway, and warping host-side moves ~N_panos
+            # images across the device->host link instead of ~N_hypotheses
+            # (through the axon tunnel the per-pair fetch, not the render,
+            # bounds the corpus path — BENCH_NOTES round 4).
+            # Slice off the compile-bucketing pad rows before the fetch —
+            # no pair ever indexes them.
+            warp_banks[surface_type] = np.asarray(
+                warp_ops.pack_rgb888(
+                    warp_ops.render_identity_bank_extended(
+                        depths_d, rgbs_d, z_range, render_cfg, bank_px
+                    )
+                )[: len(pano_ids)]
             )
-            ident_banks[surface_type] = bev_pair.render_identity_batched(
-                depths_d, rgbs_d, z_range, render_cfg
+            ident_banks[surface_type] = np.asarray(
+                bev_pair.render_identity_batched(
+                    depths_d, rgbs_d, z_range, render_cfg
+                )[: len(pano_ids)]
             )
 
     writer_pool = ThreadPoolExecutor(max_workers=io_workers)
@@ -293,20 +304,25 @@ def _render_texture_pairs_batched(
             if use_warp:
                 from salve_tpu.ops import warp as warp_ops
 
-                i1_idx = jnp.asarray(pair_indices[:, 0])
-                i2_idx = jnp.asarray(pair_indices[:, 1])
-                imgs1_d = warp_ops.warp_bank_auto(
-                    warp_banks[surface_type][i1_idx],
-                    jnp.asarray(rotations),
-                    jnp.asarray(translations)
-                    * bev_pair.HOHO_S_ZIND_SCALE_FACTOR,
+                # Host-side warp from the once-fetched banks: no device
+                # dispatch, no per-pair transfer. Bit-exactness vs the
+                # device gather warp is tested in
+                # tests/parity/test_warp_drift.py (host mirror).
+                imgs1_h = warp_ops.warp_bank_sim2_nn_host(
+                    warp_banks[surface_type],
+                    rotations,
+                    translations * bev_pair.HOHO_S_ZIND_SCALE_FACTOR,
+                    bank_idx=pair_indices[:, 0],
                 )
-                imgs2_d = ident_banks[surface_type][i2_idx]
-            else:
-                imgs1_d, imgs2_d = bev_pair.render_bev_pairs_batch_device(
-                    depths_d, rgbs_d, pair_indices, rotations, translations,
-                    surface_type,
-                )
+                imgs2_h = ident_banks[surface_type][pair_indices[:, 1]]
+                flush((chunk, imgs1_h, imgs2_h))
+                count += len(chunk)
+                continue
+
+            imgs1_d, imgs2_d = bev_pair.render_bev_pairs_batch_device(
+                depths_d, rgbs_d, pair_indices, rotations, translations,
+                surface_type,
+            )
             # Kick the device->host copies off immediately so they overlap
             # the NEXT batch's render (np.asarray alone would start the
             # transfer only inside flush, serializing render and fetch).

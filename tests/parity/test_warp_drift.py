@@ -202,3 +202,49 @@ def test_general_motion_drift_vs_direct_render(fixture_pano):
         print("warp drift:", stats)
         assert agree > 0.95
         assert diff.mean() < 12.0
+
+
+def test_host_warp_bit_exact_vs_device_nn():
+    """warp_bank_sim2_nn_host (the corpus renderer's host path) must be
+    bit-exact vs the jitted gather-NN warp on random banks and poses."""
+    rng = np.random.default_rng(11)
+    b, src = 6, 257
+    bank_u8 = rng.integers(0, 256, size=(b, src, src, 3), dtype=np.uint8)
+    packed = np.asarray(warp_ops.pack_rgb888(jnp.asarray(bank_u8)))
+    thetas = rng.uniform(-np.pi, np.pi, size=b).astype(np.float32)
+    R = np.stack(
+        [
+            np.array(
+                [[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]],
+                dtype=np.float32,
+            )
+            for t in thetas
+        ]
+    )
+    t = rng.uniform(-1.5, 1.5, size=(b, 2)).astype(np.float32)
+    dev = np.asarray(
+        warp_ops.warp_bank_sim2_nn(
+            jnp.asarray(packed), jnp.asarray(R), jnp.asarray(t),
+            dst_img_px=128, meters_per_px=MPP,
+        )
+    )
+    host = warp_ops.warp_bank_sim2_nn_host(
+        packed, R, t, dst_img_px=128, meters_per_px=MPP
+    )
+    # XLA's CPU lowering fuses the rotate-translate into FMAs; numpy keeps
+    # separate mul+add. At exact nearest-neighbor rounding boundaries the
+    # chosen source pixel can flip — measured ~1e-5 of pixels, far below
+    # the JPEG quality-95 encode noise (~5/255 on EVERY pixel) the corpus
+    # files carry anyway (BENCH_NOTES round-2 quality root-cause).
+    mismatch = np.mean(dev != host)
+    assert mismatch < 5e-5, f"host warp mismatch fraction {mismatch}"
+    # The in-place full-bank gather (bank_idx form, what the corpus
+    # renderer calls) must equal the per-image-slice form exactly.
+    idx = np.array([2, 0, 5, 1, 1, 4])
+    host_idx = warp_ops.warp_bank_sim2_nn_host(
+        packed, R, t, dst_img_px=128, meters_per_px=MPP, bank_idx=idx
+    )
+    host_slice = warp_ops.warp_bank_sim2_nn_host(
+        packed[idx], R, t, dst_img_px=128, meters_per_px=MPP
+    )
+    assert np.array_equal(host_idx, host_slice)
