@@ -44,7 +44,14 @@ def run_epoch(
 
     n_batches = 0
     end = time.time()
-    pending = None  # (metrics, labels_host) of the in-flight step
+    # In-flight steps whose metrics have not been fetched yet. Depth 1 is
+    # the classic single-buffer lookahead; deeper pipelines keep several
+    # steps enqueued so the per-fetch host<->device round trip (0.2-0.5 s
+    # over the axon tunnel) amortizes across that many device steps —
+    # essential when batches come from a DeviceCorpus and the round trip,
+    # not the upload, is what gates step rate.
+    depth = max(1, int(getattr(cfg, "metrics_pipeline_depth", 1)))
+    pending = []  # [(metrics, labels_host), ...] oldest first
 
     def _consume(pending_item):
         """Fetch the previous step's metrics (the only host sync point)."""
@@ -72,22 +79,27 @@ def run_epoch(
     ):
         labels_host = np.asarray(labels)
         if mesh is not None and imgs.shape[0] % mesh.size == 0:
-            imgs, labels = shard_batch(mesh, (imgs, labels))
-        # Dispatch this step asynchronously, THEN fetch the previous step's
-        # metrics: the host loads/transfers batch k+1 and drains step k's
-        # results while the device runs step k (single-buffer lookahead).
+            if isinstance(imgs, jax.Array):
+                # DeviceCorpus batches arrive already sharded on the mesh;
+                # only the host labels still need placing.
+                labels = shard_batch(mesh, labels)
+            else:
+                imgs, labels = shard_batch(mesh, (imgs, labels))
+        # Dispatch this step asynchronously, THEN fetch an older step's
+        # metrics: the host loads/transfers upcoming batches and drains
+        # completed results while the device keeps running.
         if split == "train":
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, imgs, labels, sub)
         else:
             metrics = step_fn(state, imgs, labels)
-        if pending is not None:
-            _consume(pending)
-        pending = (metrics, labels_host)
-        if max_batches is not None and n_batches + 1 >= max_batches:
+        pending.append((metrics, labels_host))
+        while len(pending) > depth:
+            _consume(pending.pop(0))
+        if max_batches is not None and n_batches + len(pending) >= max_batches:
             break
-    if pending is not None:
-        _consume(pending)
+    while pending:
+        _consume(pending.pop(0))
 
     _, accuracy_class, _, mAcc, _ = sam.get_metrics()
     metrics_dict = {
@@ -143,6 +155,25 @@ def train(
         )
         logger.info("Fine-tuning from %s (fresh optimizer)", finetune_from)
 
+    # HBM-resident corpus: upload the train split once and gather batches
+    # on device (training/device_corpus.py) — epochs then run at device
+    # speed instead of host-link speed. Falls back to host streaming when
+    # the split exceeds the budget or a batch can't split over the mesh.
+    train_data = train_ds
+    budget_gb = float(getattr(cfg, "device_corpus_gb", 0.0) or 0.0)
+    if budget_gb > 0 and len(train_ds) > 0:
+        from salve_tpu.training import device_corpus as dc
+
+        est = dc.estimated_corpus_bytes(train_ds)
+        if est <= budget_gb * 1e9 and cfg.batch_size % mesh.size == 0:
+            train_data = dc.DeviceCorpus(train_ds, mesh)
+        else:
+            logger.warning(
+                "device_corpus disabled: corpus %.2f GB vs budget %.2f GB "
+                "(or batch %d not divisible by mesh size %d)",
+                est / 1e9, budget_gb, cfg.batch_size, mesh.size,
+            )
+
     with mesh:
         state = replicate(mesh, state)
         train_step = train_lib.make_train_step(cfg)
@@ -156,7 +187,7 @@ def train(
             logger.info("On epoch %d", epoch)
             rng, epoch_rng = jax.random.split(rng)
             state, train_metrics = run_epoch(
-                cfg, epoch, state, train_step, train_ds, "train",
+                cfg, epoch, state, train_step, train_data, "train",
                 rng=epoch_rng, max_batches=max_batches_per_epoch, mesh=mesh,
             )
             for k, v in train_metrics.items():
