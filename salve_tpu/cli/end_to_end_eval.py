@@ -148,11 +148,6 @@ def _per_building_verifier(preds_dir: Path) -> dict:
                    "train split to the mesh once and gather batches on "
                    "device — epochs run at device speed instead of "
                    "host-link speed. 0/unset streams from host.")
-@click.option("--metrics_pipeline_depth", type=int, default=None,
-              help="Dispatched steps with unfetched metrics before the "
-                   "loop blocks on the oldest (default 1). Raise over "
-                   "high-latency links (axon tunnel) so fetch round trips "
-                   "amortize across device steps.")
 @click.option("--stage_d_only", is_flag=True, default=False,
               help="Reuse an existing output_dir (hypotheses + serialized "
                    "preds from a prior full run) and re-run only Stage D — "
@@ -171,7 +166,7 @@ def run_end_to_end_eval(
     procedural_val_buildings, eval_procedural_buildings,
     photometric_augmentation, append_pair_difference,
     calibrate_on_val, warp_corpus, resume_ckpt, finetune_ckpt,
-    decoded_cache_gb, device_corpus_gb, metrics_pipeline_depth,
+    decoded_cache_gb, device_corpus_gb,
     stage_d_only, rescue_clusters,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
@@ -330,8 +325,6 @@ def run_end_to_end_eval(
         cfg.decoded_cache_gb = decoded_cache_gb
     if device_corpus_gb is not None:
         cfg.device_corpus_gb = device_corpus_gb
-    if metrics_pipeline_depth is not None:
-        cfg.metrics_pipeline_depth = metrics_pipeline_depth
     if num_epochs == 0:
         # Eval-only (validated up front): score an existing checkpoint on
         # the (possibly widened) test split without any Stage-C training.

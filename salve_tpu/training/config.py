@@ -63,11 +63,6 @@ class TrainingConfig:
     # gather — epochs run at device speed instead of host-link speed.
     # 0 disables (host streaming). Oversized corpora fall back silently.
     device_corpus_gb: float = 0.0
-    # How many dispatched steps may have unfetched metrics before the loop
-    # blocks on the oldest (training/loop.py). 1 = single-buffer lookahead;
-    # raise it when each metrics fetch pays a long link round trip (axon
-    # tunnel) so the round trips amortize over several device steps.
-    metrics_pipeline_depth: int = 1
     # Per-building split reassignment, {building_id: "train"|"val"|"test"}.
     # Overrides the official ZInD partition (dataset/zind_partition.py) for
     # cross-validation experiments (e.g. hold out a train-split building).

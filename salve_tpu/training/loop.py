@@ -8,22 +8,65 @@ over the device mesh (batch on 'data', params replicated).
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from salve_tpu.dataset.bev_pairs import BEVPairDataset
 from salve_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from salve_tpu.training import train as train_lib
 from salve_tpu.training.config import TrainingConfig
-from salve_tpu.training.meters import AverageMeter, SegmentationAverageMeter
+from salve_tpu.training.meters import SegmentationAverageMeter
 from salve_tpu.utils.io import save_json_file
 
 logger = logging.getLogger(__name__)
+
+
+@functools.lru_cache(maxsize=4)
+def _make_metric_fold(num_classes: int):
+    """Jitted fold of one step's outputs into a device-side accumulator.
+
+    The epoch loop dispatches this right after each step, so the running
+    loss/confusion-matrix lives ON the device and the host never blocks on
+    per-step metric fetches (over the axon tunnel each fetch is a 0.2-0.5 s
+    round trip — fetching every step caps training at ~3 steps/s no matter
+    how fast the device step is). One fetch per log interval / epoch end.
+    """
+
+    def fold(acc, loss, probs, labels):
+        y_hat = jnp.argmax(probs, axis=1)
+        cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+        cm = cm.at[labels, y_hat].add(1)
+        bs = labels.shape[0]
+        return {
+            "cm": acc["cm"] + cm,
+            "loss_sum": acc["loss_sum"] + loss * bs,
+            "n": acc["n"] + bs,
+        }
+
+    return jax.jit(fold)
+
+
+def _metrics_from_acc(acc) -> Tuple[float, float, List[float]]:
+    """(avg_loss, mAcc, per-class accuracy) from a fetched accumulator.
+
+    Same math as SegmentationAverageMeter.get_metrics (meters.py:64): the
+    confusion matrix carries intersection (diagonal) and target histogram
+    (row sums); mAcc averages per-class accuracy over all classes.
+    """
+    cm = np.asarray(acc["cm"], dtype=np.float64)
+    inter = np.diag(cm)
+    target = cm.sum(axis=1)
+    accuracy_class = inter / (target + 1e-10)
+    n = float(np.asarray(acc["n"]))
+    avg_loss = float(np.asarray(acc["loss_sum"])) / max(n, 1.0)
+    return avg_loss, float(np.mean(accuracy_class)), list(map(float, accuracy_class))
 
 
 def run_epoch(
@@ -37,47 +80,25 @@ def run_epoch(
     max_batches: Optional[int] = None,
     mesh=None,
 ) -> Tuple[object, Dict[str, float]]:
-    """One pass over a split. Returns (state, metrics dict)."""
-    sam = SegmentationAverageMeter()
-    loss_meter = AverageMeter()
-    batch_time = AverageMeter()
+    """One pass over a split. Returns (state, metrics dict).
+
+    Every dispatch (batch gather, step, metric fold) is asynchronous; the
+    only host sync points are the periodic log lines (every print_every
+    batches — which also bounds how far the host can run ahead of the
+    device) and the final accumulator fetch.
+    """
+    fold = _make_metric_fold(cfg.num_ce_classes)
+    acc = {
+        "cm": jnp.zeros((cfg.num_ce_classes, cfg.num_ce_classes), jnp.int32),
+        "loss_sum": jnp.zeros((), jnp.float32),
+        "n": jnp.zeros((), jnp.int32),
+    }
 
     n_batches = 0
-    end = time.time()
-    # In-flight steps whose metrics have not been fetched yet. Depth 1 is
-    # the classic single-buffer lookahead; deeper pipelines keep several
-    # steps enqueued so the per-fetch host<->device round trip (0.2-0.5 s
-    # over the axon tunnel) amortizes across that many device steps —
-    # essential when batches come from a DeviceCorpus and the round trip,
-    # not the upload, is what gates step rate.
-    depth = max(1, int(getattr(cfg, "metrics_pipeline_depth", 1)))
-    pending = []  # [(metrics, labels_host), ...] oldest first
-
-    def _consume(pending_item):
-        """Fetch the previous step's metrics (the only host sync point)."""
-        nonlocal end, n_batches
-        metrics, labels_host = pending_item
-        if split == "train":
-            y_hat = np.argmax(np.asarray(metrics["probs"]), axis=1)
-        else:
-            y_hat = np.asarray(metrics["y_hat"])
-        loss = float(np.asarray(metrics["loss"]))
-        sam.update_metrics(y_hat, labels_host, num_classes=cfg.num_ce_classes)
-        loss_meter.update(loss, n=labels_host.shape[0])
-        batch_time.update(time.time() - end)
-        end = time.time()
-        n_batches += 1
-        if n_batches % cfg.print_every == 0:
-            _, _, _, running_mAcc, _ = sam.get_metrics()
-            logger.info(
-                "[%s] epoch %d batch %d loss %.4f mAcc %.4f (%.2fs/batch)",
-                split, epoch, n_batches, loss, running_mAcc, batch_time.avg,
-            )
-
+    t_start = time.time()
     for imgs, labels, _ in dataset.iter_batches(
         cfg.batch_size, shuffle=(split == "train"), seed=epoch
     ):
-        labels_host = np.asarray(labels)
         if mesh is not None and imgs.shape[0] % mesh.size == 0:
             if isinstance(imgs, jax.Array):
                 # DeviceCorpus batches arrive already sharded on the mesh;
@@ -85,27 +106,30 @@ def run_epoch(
                 labels = shard_batch(mesh, labels)
             else:
                 imgs, labels = shard_batch(mesh, (imgs, labels))
-        # Dispatch this step asynchronously, THEN fetch an older step's
-        # metrics: the host loads/transfers upcoming batches and drains
-        # completed results while the device keeps running.
         if split == "train":
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, imgs, labels, sub)
         else:
             metrics = step_fn(state, imgs, labels)
-        pending.append((metrics, labels_host))
-        while len(pending) > depth:
-            _consume(pending.pop(0))
-        if max_batches is not None and n_batches + len(pending) >= max_batches:
+        acc = fold(acc, metrics["loss"], metrics["probs"], labels)
+        n_batches += 1
+        if n_batches % cfg.print_every == 0:
+            avg_loss, mAcc, _ = _metrics_from_acc(acc)  # syncs to this step
+            logger.info(
+                "[%s] epoch %d batch %d loss %.4f mAcc %.4f (%.2fs/batch)",
+                split, epoch, n_batches, avg_loss, mAcc,
+                (time.time() - t_start) / n_batches,
+            )
+        if max_batches is not None and n_batches >= max_batches:
             break
-    while pending:
-        _consume(pending.pop(0))
 
-    _, accuracy_class, _, mAcc, _ = sam.get_metrics()
+    avg_loss, mAcc, accuracy_class = (
+        _metrics_from_acc(acc) if n_batches else (0.0, 0.0, [])
+    )
     metrics_dict = {
-        "avg_loss": loss_meter.avg,
+        "avg_loss": avg_loss,
         "mAcc": mAcc,
-        "class_accs": list(map(float, accuracy_class)),
+        "class_accs": accuracy_class,
     }
     return state, metrics_dict
 

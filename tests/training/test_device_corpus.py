@@ -149,7 +149,6 @@ class TestTrainLoopWithDeviceCorpus:
             data_root=str(tiny_bev_tree),
             model_save_dirpath=str(tmp_path / "ckpts"),
             device_corpus_gb=1.0,
-            metrics_pipeline_depth=4,
         )
         with caplog.at_level("INFO"):
             results = train(cfg)
