@@ -96,38 +96,42 @@ def render_building_floor_pairs(
     img_fpaths_dict = _pano_fpaths_for_building(raw_dataset_dir, building_id)
     num_rendered = 0
 
-    for label_type in ["gt_alignment_approx", "incorrect_alignment"]:
-        pair_fpaths = sorted(
+    label_fpaths = {
+        label_type: sorted(
             glob.glob(f"{hypotheses_save_root}/{building_id}/{floor_id}/{label_type}/*.json")
         )
-        if not pair_fpaths:
-            continue
+        for label_type in ["gt_alignment_approx", "incorrect_alignment"]
+    }
 
-        if "rgb_texture" in render_modalities:
-            from salve_tpu.utils import profiler
+    if "rgb_texture" in render_modalities and any(label_fpaths.values()):
+        from salve_tpu.utils import profiler
 
-            with profiler.stage_timer("render/texture_pairs"):
-                num_rendered += _render_texture_pairs_batched(
+        # Both label types share one pano bank (identical panos, identical
+        # device renders) — staging it once per floor halves the dominant
+        # fixed cost of small buildings (the per-pano splat bank renders).
+        with profiler.stage_timer("render/texture_pairs"):
+            num_rendered += _render_texture_pairs_batched(
+                label_fpaths,
+                img_fpaths_dict,
+                depth_save_root,
+                bev_save_root,
+                building_id,
+                batch_size,
+                io_workers,
+                use_warp,
+            )
+
+    if "layout" in render_modalities and floor_pose_graph is not None:
+        for label_type, pair_fpaths in label_fpaths.items():
+            if pair_fpaths:
+                num_rendered += _render_layout_pairs(
                     pair_fpaths,
                     img_fpaths_dict,
-                    depth_save_root,
-                    bev_save_root,
+                    layout_save_root,
                     label_type,
                     building_id,
-                    batch_size,
-                    io_workers,
-                    use_warp,
+                    floor_pose_graph,
                 )
-
-        if "layout" in render_modalities and floor_pose_graph is not None:
-            num_rendered += _render_layout_pairs(
-                pair_fpaths,
-                img_fpaths_dict,
-                layout_save_root,
-                label_type,
-                building_id,
-                floor_pose_graph,
-            )
     return num_rendered
 
 
@@ -140,17 +144,17 @@ def _parse_pair_fpath(pair_fpath: str) -> Tuple[int, int, int, str]:
 
 
 def _render_texture_pairs_batched(
-    pair_fpaths: List[str],
+    label_fpaths: Dict[str, List[str]],
     img_fpaths_dict: Dict[int, str],
     depth_save_root: str,
     bev_save_root: str,
-    label_type: str,
     building_id: str,
     batch_size: int,
     io_workers: int,
     use_warp: bool = False,
 ) -> int:
-    """RGB texture modality: both surfaces, batched on device.
+    """RGB texture modality: both surfaces + both label types, batched on
+    device against ONE shared pano bank.
 
     With ``use_warp`` (the TPU production default, resolve_corpus_warp_default)
     each pano is fully rendered ONCE per surface — a standard-extent identity
@@ -162,32 +166,34 @@ def _render_texture_pairs_batched(
     direct render is the warp drift measured in tests/parity/test_warp_drift.py
     and validated end-to-end in ACCURACY_r03/r04 warp A/Bs.
     """
-    import imageio.v2 as imageio
-
-    building_bev_save_dir = f"{bev_save_root}/{label_type}/{building_id}"
-    os.makedirs(building_bev_save_dir, exist_ok=True)
-
-    # Work items: (pair_idx, fpath, i1, i2, uuid, surface, out1, out2), skipping
-    # pairs whose outputs already exist (resume contract).
+    # Work items: (hyp Sim2 fpath, i1, i2, surface, out1, out2), skipping
+    # pairs whose outputs already exist (resume contract). gt and incorrect
+    # label types differ only in hypothesis lists and output directory, so
+    # their work shares the floor's pano bank below.
     work = []
     needed_panos = set()
-    for pair_idx, pair_fpath in enumerate(pair_fpaths):
-        i1, i2, pair_uuid = _parse_pair_fpath(pair_fpath)
-        if i1 not in img_fpaths_dict or i2 not in img_fpaths_dict:
+    for label_type, pair_fpaths in label_fpaths.items():
+        if not pair_fpaths:
             continue
-        for surface_type in ["floor", "ceiling"]:
-            fname1 = bev_pair.bev_fname_from_img_fpath(
-                pair_idx, pair_uuid, surface_type, img_fpaths_dict[i1]
-            )
-            fname2 = bev_pair.bev_fname_from_img_fpath(
-                pair_idx, pair_uuid, surface_type, img_fpaths_dict[i2]
-            )
-            out1 = f"{building_bev_save_dir}/{fname1}"
-            out2 = f"{building_bev_save_dir}/{fname2}"
-            if Path(out1).exists() and Path(out2).exists():
+        building_bev_save_dir = f"{bev_save_root}/{label_type}/{building_id}"
+        os.makedirs(building_bev_save_dir, exist_ok=True)
+        for pair_idx, pair_fpath in enumerate(pair_fpaths):
+            i1, i2, pair_uuid = _parse_pair_fpath(pair_fpath)
+            if i1 not in img_fpaths_dict or i2 not in img_fpaths_dict:
                 continue
-            work.append((pair_fpath, i1, i2, surface_type, out1, out2))
-            needed_panos.update([i1, i2])
+            for surface_type in ["floor", "ceiling"]:
+                fname1 = bev_pair.bev_fname_from_img_fpath(
+                    pair_idx, pair_uuid, surface_type, img_fpaths_dict[i1]
+                )
+                fname2 = bev_pair.bev_fname_from_img_fpath(
+                    pair_idx, pair_uuid, surface_type, img_fpaths_dict[i2]
+                )
+                out1 = f"{building_bev_save_dir}/{fname1}"
+                out2 = f"{building_bev_save_dir}/{fname2}"
+                if Path(out1).exists() and Path(out2).exists():
+                    continue
+                work.append((pair_fpath, i1, i2, surface_type, out1, out2))
+                needed_panos.update([i1, i2])
     if not work:
         return 0
 
@@ -280,12 +286,9 @@ def _render_texture_pairs_batched(
             pair_indices = np.array(
                 [[id2bank[w[1]], id2bank[w[2]]] for w in chunk], dtype=np.int32
             )
-            rotations = np.stack(
-                [Sim2.from_json(w[0]).rotation for w in chunk]
-            ).astype(np.float32)
-            translations = np.stack(
-                [Sim2.from_json(w[0]).translation for w in chunk]
-            ).astype(np.float32)
+            sims = [Sim2.from_json(w[0]) for w in chunk]
+            rotations = np.stack([s.rotation for s in sims]).astype(np.float32)
+            translations = np.stack([s.translation for s in sims]).astype(np.float32)
             # Pad the tail chunk to the full batch shape (identity poses on
             # bank slot 0): one compiled program per surface, no per-tail
             # recompiles. flush() only iterates the real rows.
