@@ -415,6 +415,34 @@ def bench_verifier_train_step(reps: int = 4) -> dict:
         "pairs_per_sec": round(cfg.batch_size / dt, 1),
         "aug_s": round(aug_s, 4),
     }
+
+    # HBM-resident corpus data path (training/device_corpus.py): per-batch
+    # cost of gathering a bs-sized batch from an on-device uint8 corpus —
+    # the production training input path on TPU (the host link then carries
+    # only labels). Billed as step + gather since both run on the one core.
+    try:
+        corpus = jnp.asarray(
+            rng.integers(
+                0, 255, (512, n_imgs, cfg.resize_h, cfg.resize_w, 3)
+            ).astype(np.uint8)
+        )
+        take = jax.jit(lambda c, i: jnp.take(c, i, axis=0))
+        idx = jnp.asarray(rng.integers(0, 512, (cfg.batch_size,)).astype(np.int32))
+        b = take(corpus, idx)
+        float(jnp.sum(b.astype(jnp.float32)))  # compile + warmup barrier
+        t0 = time.time()
+        for _ in range(reps):
+            b = take(corpus, idx)
+            # Chain through the result so dispatches serialize on device.
+            idx = (idx + b[0, 0, 0, 0, 0].astype(jnp.int32)) % 512
+        float(idx[0])  # fetch barrier
+        gather_s = (time.time() - t0) / reps
+        out["hbm_corpus_gather_s"] = round(gather_s, 4)
+        out["hbm_corpus_pairs_per_sec"] = round(
+            cfg.batch_size / (dt + gather_s), 1
+        )
+    except Exception as e:  # never kill the headline metric
+        out["hbm_corpus_gather_s"] = f"error: {e}"
     if flops:
         # v5 lite peak ~197 TFLOP/s bf16.
         out["est_mfu_vs_v5e_peak"] = round(flops / dt / 197e12, 3)

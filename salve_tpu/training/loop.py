@@ -183,19 +183,26 @@ def train(
     # on device (training/device_corpus.py) — epochs then run at device
     # speed instead of host-link speed. Falls back to host streaming when
     # the split exceeds the budget or a batch can't split over the mesh.
-    train_data = train_ds
+    train_data, val_data = train_ds, val_ds
     budget_gb = float(getattr(cfg, "device_corpus_gb", 0.0) or 0.0)
     if budget_gb > 0 and len(train_ds) > 0:
         from salve_tpu.training import device_corpus as dc
 
-        est = dc.estimated_corpus_bytes(train_ds)
-        if est <= budget_gb * 1e9 and cfg.batch_size % mesh.size == 0:
+        est_train = dc.estimated_corpus_bytes(train_ds)
+        est_val = dc.estimated_corpus_bytes(val_ds)
+        if est_train <= budget_gb * 1e9 and cfg.batch_size % mesh.size == 0:
             train_data = dc.DeviceCorpus(train_ds, mesh)
+            # The val split rides along when the budget covers both: per-
+            # epoch best-ckpt selection otherwise re-streams it every epoch.
+            # (Device-corpus val drops the sub-batch tail — bounded metric
+            # noise of < batch_size pairs out of the whole split.)
+            if 0 < est_val <= budget_gb * 1e9 - est_train:
+                val_data = dc.DeviceCorpus(val_ds, mesh)
         else:
             logger.warning(
                 "device_corpus disabled: corpus %.2f GB vs budget %.2f GB "
                 "(or batch %d not divisible by mesh size %d)",
-                est / 1e9, budget_gb, cfg.batch_size, mesh.size,
+                est_train / 1e9, budget_gb, cfg.batch_size, mesh.size,
             )
 
     with mesh:
@@ -219,7 +226,7 @@ def train(
 
             if len(val_ds) > 0:
                 _, val_metrics = run_epoch(
-                    cfg, epoch, state, eval_step, val_ds, "val",
+                    cfg, epoch, state, eval_step, val_data, "val",
                     max_batches=max_batches_per_epoch, mesh=mesh,
                 )
             else:
