@@ -212,11 +212,40 @@ def generate_building_json(
     n_rows: Optional[int] = None,
     n_cols: Optional[int] = None,
     scale_meters_per_coordinate: float = 3.5,
+    version: int = 11,
+    style: str = "default",
 ) -> Dict:
-    """One procedural building as a zind_data.json-compatible dict."""
+    """One procedural building as a zind_data.json-compatible dict.
+
+    Args:
+        version: generator vintage. 11 reproduces the round-4 corpus
+            BYTE-EXACTLY for a given seed (held-out eval geometry is frozen
+            at v11 for cross-round comparability; asserted in
+            tests/dataset/test_procedural.py). 12 adds the round-5 levers
+            (same-width DOOR twins, a per-building standard door width so
+            most door pairs pass Stage A's 0.8 width-ratio gate — the
+            exactly-90-deg rotation-FP family building 0038 exposed).
+        style: "default", or "pathological" — two room wings joined by a
+            single corridor cell whose only connections are one door per
+            side (every wing-to-wing edge rides ONE hypothesis), plus
+            forced far-from-door pano placement. Purpose-built VAL
+            geometry: verifier misses on the bridge doors split the floor
+            into components, so conditional Stage-D mechanisms (connectivity
+            rescue, GLC) actually fire on val and the val method freeze can
+            discriminate them (round-4 val was too clean: all configs tied).
+    """
+    patho = style == "pathological"
+    if patho:
+        version = max(version, 12)
+    v12 = version >= 12
     rng = np.random.default_rng(seed)
-    R = n_rows or int(rng.integers(2, 5))
-    C = n_cols or int(rng.integers(2, 5))
+    if patho:
+        # Two wings of full columns around a single bridge column.
+        R = n_rows or int(rng.integers(2, 4))
+        C = n_cols or 3
+    else:
+        R = n_rows or int(rng.integers(2, 5))
+        C = n_cols or int(rng.integers(2, 5))
     while R * C > 10:  # cap the floor size (real tours average ~8 rooms/floor)
         if R >= C:
             R -= 1
@@ -227,14 +256,25 @@ def generate_building_json(
     # ratio 1.58-2.53 on fixture 1210 (median 1.92).
     cam_base_m = float(rng.uniform(1.30, 1.70))
     ceil_m = float(np.clip(cam_base_m * rng.uniform(1.65, 2.25), 2.15, 3.4))
+    # v12: per-building standard door width. Real homes hang same-size doors
+    # everywhere; v11's independent 0.75-1.15 m draws often FAILED the 0.8
+    # width-ratio gate, under-generating the wrong-door rotation negatives
+    # (0038's residual FP family pairs equal-width doors at exactly 90 deg).
+    door_w_base = float(rng.uniform(0.80, 1.05)) if v12 else None
 
     # Cell extents (shared walls): cumulative random sizes.
     widths = rng.uniform(2.4, 6.8, C)
     heights = rng.uniform(2.4, 6.2, R)
+    bridge_col: Optional[int] = None
+    if patho:
+        # The bridge column is a corridor: elongated, feature-sparse, and
+        # viewed obliquely — the bridge doors become genuinely hard edges.
+        bridge_col = C // 2
+        widths[bridge_col] = rng.uniform(1.4, 2.0)
     # v8: corridor band — squeeze one row (or column) to hallway width.
     # Real tours route most doors through feature-sparse elongated halls;
     # v7 never generated a room under 2.4 m across.
-    if rng.uniform() < 0.35:
+    elif rng.uniform() < 0.35:
         if rng.uniform() < 0.5 and R >= 2:
             heights[int(rng.integers(R))] = rng.uniform(1.4, 2.0)
         elif C >= 2:
@@ -244,12 +284,21 @@ def generate_building_json(
 
     # Drop some cells (keep the grid 4-connected by construction below).
     present = np.ones((R, C), dtype=bool)
-    for _ in range(int(rng.integers(0, R * C // 3 + 1))):
-        r, c = int(rng.integers(R)), int(rng.integers(C))
-        trial = present.copy()
-        trial[r, c] = False
-        if trial.sum() >= 2 and _is_connected(trial):
-            present = trial
+    if patho:
+        # Carve the bridge: keep ONE cell of the bridge column, drop the
+        # rest. Each wing (full column block) reaches the other only through
+        # that corridor cell's two doors.
+        keep_row = int(rng.integers(R))
+        for r in range(R):
+            if r != keep_row:
+                present[r, bridge_col] = False
+    else:
+        for _ in range(int(rng.integers(0, R * C // 3 + 1))):
+            r, c = int(rng.integers(R)), int(rng.integers(C))
+            trial = present.copy()
+            trial[r, c] = False
+            if trial.sum() >= 2 and _is_connected(trial):
+                present = trial
 
     # Interior wall lines (axis, coord, lo, hi): notches never touch these,
     # and window placement must avoid them.
@@ -332,10 +381,23 @@ def generate_building_json(
             # v8 verifier both under-recalled GT opening pairs (p=0.12-0.31)
             # and produced its worst false positives on rotated openings —
             # openings were simply rare in the v8 corpus.
-            is_opening = rng.uniform() < 0.40
-            width = float(
-                rng.uniform(1.3, 3.0) if is_opening else rng.uniform(0.75, 1.15)
+            axis0 = line[0]
+            bridge_wall = (
+                patho
+                and axis0 == "v"
+                and (c == bridge_col or c + 1 == bridge_col)
             )
+            is_opening = rng.uniform() < 0.40
+            if bridge_wall:
+                # The wing-to-corridor connection is always a standard DOOR
+                # (the symmetric, hard-to-verify case) — and exactly one.
+                is_opening = False
+            if v12 and not is_opening:
+                width = float(door_w_base * rng.uniform(0.93, 1.07))
+            else:
+                width = float(
+                    rng.uniform(1.3, 3.0) if is_opening else rng.uniform(0.75, 1.15)
+                )
             axis, coord, lo_w, hi_w = line
             lo, hi = lo_w + 0.5 + width / 2, hi_w - 0.5 - width / 2
             if hi <= lo:
@@ -351,7 +413,7 @@ def generate_building_json(
             # W/D/Os between ONE room pair is the classic Stage-A
             # disambiguation case (which of the two doors matches?).
             second_is_opening = False
-            if hi_w - lo_w >= 4.5 and rng.uniform() < 0.4:
+            if hi_w - lo_w >= 4.5 and not bridge_wall and rng.uniform() < 0.4:
                 # v9: the second W/D/O is an opening 30% of the time
                 # (door+opening on one wall — e.g. a kitchen pass-through
                 # beside its door — appears in real tours and forces the
@@ -362,10 +424,22 @@ def generate_building_json(
                 # that passes the 0.8 width-ratio gate, seeding the
                 # opening-slide hard negatives floor_01's poison edges
                 # showed the verifier never trained on.
-                same_width_twin = is_opening and rng.uniform() < 0.6
-                second_is_opening = same_width_twin or rng.uniform() < 0.3
+                if v12:
+                    # v12: same-width twins for DOORS too (0.55) — the
+                    # wrong-door pairing of equal-width doors is the exact
+                    # negative family 0038's rotation FPs live in; v11 only
+                    # seeded opening twins.
+                    same_width_twin = rng.uniform() < (0.6 if is_opening else 0.55)
+                    second_is_opening = (
+                        is_opening if same_width_twin else rng.uniform() < 0.3
+                    )
+                else:
+                    same_width_twin = is_opening and rng.uniform() < 0.6
+                    second_is_opening = same_width_twin or rng.uniform() < 0.3
                 if same_width_twin:
                     w2 = float(width * rng.uniform(0.96, 1.04))
+                elif v12 and not second_is_opening:
+                    w2 = float(door_w_base * rng.uniform(0.93, 1.07))
                 else:
                     w2 = float(
                         rng.uniform(1.3, 2.2)
@@ -438,7 +512,11 @@ def generate_building_json(
             p0, p1, span = free_exterior_edges[
                 int(rng.integers(len(free_exterior_edges)))
             ]
-            d_w = float(rng.uniform(0.75, 1.1))
+            d_w = (
+                float(door_w_base * rng.uniform(0.93, 1.07))
+                if v12
+                else float(rng.uniform(0.75, 1.1))
+            )
             along = (p1 - p0) / span
             u = rng.uniform(0.5 + d_w / 2, span - 0.5 - d_w / 2)
             a, b = _wall_segment(p0 + along * u, along, d_w / 2)
@@ -486,7 +564,11 @@ def generate_building_json(
             partial = f"partial_room_{k:02d}"
             pano_key = f"pano_{pano_id}"
             repel: List[Tuple[float, float]] = list(placed_xy) if j > 0 else []
-            if wdo_mids and rng.uniform() < (0.5 if j > 0 else 0.35):
+            # Pathological val: ALWAYS repel the connecting doors — bridge
+            # edges are then seen far and oblique, maximizing the chance the
+            # verifier actually misses one on val (which is the point).
+            p_repel = 1.1 if patho else (0.5 if j > 0 else 0.35)
+            if wdo_mids and rng.uniform() < p_repel:
                 repel = repel + wdo_mids
             cx, cy = _sample_camera_xy(
                 rng, poly, spread_from=repel if repel else None
@@ -579,7 +661,11 @@ def _is_connected(present: np.ndarray) -> bool:
 
 
 def write_procedural_buildings(
-    out_zind_dir: str, building_ids: List[str], base_seed: int = 0
+    out_zind_dir: str,
+    building_ids: List[str],
+    base_seed: int = 0,
+    version: int = 11,
+    styles: Optional[Dict[str, str]] = None,
 ) -> None:
     """Write zind_data.json for each building id (geometry only; pair with
     dataset/synthetic_zind.py to materialize imagery + depth).
@@ -600,6 +686,10 @@ def write_procedural_buildings(
         if out_fpath.exists():
             continue
         bdir.mkdir(parents=True, exist_ok=True)
-        data = generate_building_json(seed=base_seed * 99991 + int(bid))
+        data = generate_building_json(
+            seed=base_seed * 99991 + int(bid),
+            version=version,
+            style=(styles or {}).get(bid, "default"),
+        )
         with open(out_fpath, "w") as f:
             json.dump(data, f)

@@ -152,6 +152,12 @@ def materialize_synthetic_building(
                         pano.global_Sim2_local.rotation, dtype=np.float64
                     )
                     @ synthetic_R_FIX,
+                    # v12 asymmetry cues: hashed doormats keyed off each
+                    # door's world position (rendering/synthetic.py:
+                    # _apply_door_mats) — the corpus-side attack on the
+                    # symmetric-door rotation-FP family (ACCURACY_r04
+                    # forensics_0038).
+                    door_rects=world.door_rects,
                 )
             if need_pano:
                 # cv2 encode: byte-identical to imageio at q95, 3.6x faster

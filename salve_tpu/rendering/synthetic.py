@@ -157,6 +157,71 @@ def _speckle(wx, wy, seed: int, salt: int, amp: float):
     return 1.0 - amp + 2.0 * amp * _hash01_grid(sx, sy, seed, salt)
 
 
+def _apply_door_mats(floor_col, wx, wy, door_rects, seed: int):
+    """World-anchored asymmetric "doormats" beside door/opening spans (v12).
+
+    Round-4 forensics (ACCURACY_r04 forensics_0038): the residual verifier
+    false positives confidently paired rotationally-symmetric doors at
+    exactly 90 deg — nothing in the floor texture near a v11 door
+    distinguished it from another door of the same width, or its own
+    180-degree flip. Real homes are asymmetric around doorways (mats,
+    flooring transitions, furniture); this paints each door's neighborhood
+    with a hashed mat whose SIDE, hinge-end offset, size and color all
+    derive from the door's world position — every doorway becomes visually
+    unique and oriented, so wrong-door and wrong-rotation pairings finally
+    contradict the imagery.
+
+    `door_rects` is a list of world-frame (a_xy, b_xy) segments (doors and
+    openings). Endpoints are canonicalized so coincident copies from
+    different panos paint identical mats.
+    """
+    if not door_rects:
+        return floor_col
+    for a, b in door_rects:
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        if (b[0], b[1]) < (a[0], a[1]):  # endpoint-order canonicalization
+            a, b = b, a
+        wvec = b - a
+        wlen = float(np.linalg.norm(wvec))
+        if wlen < 1e-6:
+            continue
+        along = wvec / wlen
+        nrm = np.array([-along[1], along[0]])
+        mid = (a + b) / 2.0
+        kx, ky = int(round(mid[0] / 0.25)), int(round(mid[1] / 0.25))
+        u = (wx - a[0]) * along[0] + (wy - a[1]) * along[1]
+        v = (wx - a[0]) * nrm[0] + (wy - a[1]) * nrm[1]
+        for side_salt in (71, 72):  # each side of the wall independently
+            if _hash01(seed, kx, ky, side_salt) > 0.85:
+                continue
+            hinge_at_b = _hash01(seed, kx, ky, side_salt + 2) < 0.5
+            mlen = (0.45 + 0.35 * _hash01(seed, kx, ky, side_salt + 3)) * wlen
+            depth_m = 0.5 + 0.5 * _hash01(seed, kx, ky, side_salt + 4)
+            u0 = wlen - mlen if hinge_at_b else 0.0
+            u1 = u0 + mlen
+            if side_salt == 71:
+                v0, v1 = 0.06, 0.06 + depth_m
+            else:
+                v0, v1 = -0.06 - depth_m, -0.06
+            m = (u >= u0) & (u <= u1) & (v >= v0) & (v <= v1)
+            if not m.any():
+                continue
+            col = np.array(
+                [
+                    50.0 + 180.0 * _hash01(seed, kx, ky, side_salt + 5),
+                    50.0 + 180.0 * _hash01(seed, kx, ky, side_salt + 6),
+                    50.0 + 180.0 * _hash01(seed, kx, ky, side_salt + 7),
+                ]
+            )
+            border = m & (
+                (u < u0 + 0.08) | (u > u1 - 0.08) | (v < v0 + 0.08) | (v > v1 - 0.08)
+            )
+            floor_col = np.where(m[..., None], col, floor_col)
+            floor_col = np.where(border[..., None], col * 0.55, floor_col)
+    return floor_col
+
+
 def _smooth_field(
     wx: np.ndarray, wy: np.ndarray, rng, amp: float = 0.22, n_waves: int = 2
 ) -> np.ndarray:
@@ -186,6 +251,7 @@ def render_synthetic_pano(
     seed: int = 0,
     world_R: Optional[np.ndarray] = None,
     world_t: Optional[np.ndarray] = None,
+    door_rects=None,
 ) -> Dict[str, np.ndarray]:
     """Textured synthetic pano + exact depth for a room layout.
 
@@ -258,6 +324,7 @@ def render_synthetic_pano(
     rug_stripe = (np.floor((fx_in + fy_in) / 0.2) % 2).astype(bool)
     rug_col = rug_col * np.where(rug_stripe[..., None], 1.0, 0.9)
     floor_col = np.where(in_rug[..., None], rug_col, floor_col)
+    floor_col = _apply_door_mats(floor_col, wx, wy, door_rects, seed)
     rgb = np.where((surface == FLOOR)[..., None], floor_col, rgb)
 
     # Ceiling: light neutral with a slow plaster gradient + the same
@@ -321,13 +388,16 @@ class FloorWorld:
     /root/reference/tests/test_data/Renderings/.) Windows stay opaque.
     """
 
-    def __init__(self, rooms, seg_a, seg_b, portals):
+    def __init__(self, rooms, seg_a, seg_b, portals, door_rects=None):
         self.rooms = rooms          # list of (V,2) world-metric polygons
         self.seg_a = seg_a          # (E,2) segment starts
         self.seg_b = seg_b          # (E,2) segment ends
         # portals[e] = list of (s_lo, s_hi, z_lo, z_hi) transparent spans on
         # segment e (arc-length meters along the segment, absolute z meters).
         self.portals = portals
+        # Deduped world-metric (a_xy, b_xy) door/opening spans, for the v12
+        # floor-mat asymmetry cues (_apply_door_mats).
+        self.door_rects = door_rects or []
 
 
 def build_floor_world(pose_graph) -> "FloorWorld":
@@ -371,7 +441,17 @@ def build_floor_world(pose_graph) -> "FloorWorld":
                 s0 = float((pa - seg_a[e]) @ u)
                 s1 = float((pb - seg_a[e]) @ u)
                 portals[e].append((min(s0, s1), max(s0, s1), z_lo, z_hi))
-    return FloorWorld(rooms, seg_a, seg_b, portals)
+
+    # Dedup coincident door/opening copies (each shared W/D/O appears in
+    # both rooms' lists) by canonicalized rounded endpoints.
+    door_rects, seen = [], set()
+    for (pa, pb, _z0, _z1) in portal_rects:
+        lo, hi = sorted((tuple(np.round(pa, 3)), tuple(np.round(pb, 3))))
+        if (lo, hi) in seen:
+            continue
+        seen.add((lo, hi))
+        door_rects.append((np.asarray(pa), np.asarray(pb)))
+    return FloorWorld(rooms, seg_a, seg_b, portals, door_rects=door_rects)
 
 
 MAX_PORTALS_PER_SEG = 3
@@ -506,6 +586,7 @@ def render_synthetic_pano_world(
     w: int = PANO_W,
     seed: int = 0,
     world_R: Optional[np.ndarray] = None,
+    door_rects=None,
 ) -> Dict[str, np.ndarray]:
     """Textured multi-room pano + exact depth (world-anchored textures).
 
@@ -557,6 +638,7 @@ def render_synthetic_pano_world(
     rug_stripe = (np.floor((fx_in + fy_in) / 0.2) % 2).astype(bool)
     rug_col = rug_col * np.where(rug_stripe[..., None], 1.0, 0.9)
     floor_col = np.where(in_rug[..., None], rug_col, floor_col)
+    floor_col = _apply_door_mats(floor_col, wx, wy, door_rects, seed)
     rgb = np.where((surface == FLOOR)[..., None], floor_col, rgb)
 
     ceil_base = np.array([228, 226, 220]) + rng.integers(-8, 8, 3)

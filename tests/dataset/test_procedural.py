@@ -401,3 +401,123 @@ def test_materialize_resume_is_per_artifact(tmp_path):
     import imageio.v2 as imageio
 
     assert int(np.median(imageio.imread(str(d2[0])))) == 2500  # 2.5 m in mm
+
+
+def test_v11_heldout_geometry_frozen():
+    """version=11 (the default) reproduces the round-4 held-out corpus
+    byte-exactly: building 0038 (seed contract of end_to_end_eval:
+    base_seed 7, seed = 7*99991 + int(id)) hashes to the frozen digest.
+    Round-5+ generator evolution must be gated behind version>=12 so the
+    cross-round eval buildings never silently change geometry."""
+    import hashlib
+    import json as _json
+
+    d = procedural.generate_building_json(seed=7 * 99991 + 38)
+    h = hashlib.sha256(_json.dumps(d, sort_keys=True).encode()).hexdigest()
+    assert h == "63021bfdcba4d5f8e3682fef96a1138814e94eb59ac2c727919d172a1e55a6dc"
+
+
+def _world_door_segments(fd, kinds=("doors",)):
+    """All W/D/O segments of the given kinds, world-normalized, endpoint-sorted."""
+    segs = []
+    for p in fd.panos:
+        for kind in kinds:
+            for d in getattr(p, kind) or []:
+                pts = p.global_Sim2_local.transform_from(np.array([d.pt1, d.pt2]))
+                segs.append(np.sort(pts, axis=0))
+    uniq = []
+    for s in segs:
+        if not any(np.allclose(s, u, atol=1e-6) for u in uniq):
+            uniq.append(s)
+    return uniq
+
+
+def test_v12_standard_door_widths_pass_ratio_gate():
+    """v12 doors hang at a per-building standard width: most door pairs now
+    pass Stage A's 0.8 width-ratio gate (the wrong-door rotation-negative
+    family 0038 exposed was under-generated by v11's independent draws)."""
+    n_pass_v12 = n_tot_v12 = 0
+    for seed in range(40, 52):
+        fd = FloorData.from_json(
+            procedural.generate_building_json(seed=seed, version=12)["merger"][
+                "floor_01"
+            ],
+            "floor_01",
+        )
+        widths = [
+            float(np.linalg.norm(np.asarray(d.pt1) - np.asarray(d.pt2)))
+            for p in fd.panos
+            for d in p.doors
+        ]
+        for i in range(len(widths)):
+            for j in range(i + 1, len(widths)):
+                lo, hi = sorted((widths[i], widths[j]))
+                n_tot_v12 += 1
+                n_pass_v12 += lo / hi > 0.8
+    assert n_tot_v12 > 50
+    assert n_pass_v12 / n_tot_v12 > 0.85, (
+        f"only {n_pass_v12}/{n_tot_v12} v12 door pairs pass the width gate"
+    )
+
+
+def test_pathological_bridge_topology():
+    """style='pathological': the floor is two wings joined by ONE corridor
+    room, and each wing reaches the corridor through exactly one door —
+    every wing-to-wing Stage-A edge rides a single door hypothesis, so a
+    verifier miss there splits the floor (what val must contain for the
+    Stage-D method freeze to discriminate rescue/GLC)."""
+    import networkx as nx
+
+    for seed in (901, 902, 903):
+        d = procedural.generate_building_json(seed=seed, style="pathological")
+        fd = FloorData.from_json(d["merger"]["floor_01"], "floor_01")
+
+        # Room polygons in world coords, one per complete room.
+        rooms = {}
+        for p in fd.panos:
+            key = tuple(np.round(np.sort(
+                p.global_Sim2_local.transform_from(p.room_vertices_local_2d),
+                axis=0,
+            ).ravel(), 5))
+            rooms.setdefault(key, []).append(p)
+
+        doors = _world_door_segments(fd, kinds=("doors", "openings"))
+        assert len(rooms) >= 5
+
+        # Connect rooms sharing a coincident door; the corridor is the
+        # articulation room. Room graph: nodes=room keys.
+        keys = list(rooms)
+
+        def _room_has_door(key, seg):
+            p = rooms[key][0]
+            for dd in list(p.doors or []) + list(p.openings or []):
+                s = np.sort(
+                    p.global_Sim2_local.transform_from(
+                        np.array([dd.pt1, dd.pt2])
+                    ),
+                    axis=0,
+                )
+                if np.allclose(s, seg, atol=1e-6):
+                    return True
+            return False
+
+        G = nx.Graph()
+        G.add_nodes_from(range(len(keys)))
+        door_count = {}
+        for seg in doors:
+            holders = [k for k, key in enumerate(keys) if _room_has_door(key, seg)]
+            if len(holders) == 2:
+                e = tuple(sorted(holders))
+                door_count[e] = door_count.get(e, 0) + 1
+                G.add_edge(*e)
+        assert nx.is_connected(G), "pathological floor must be connected"
+        arts = list(nx.articulation_points(G))
+        assert arts, "no articulation room — bridge topology not generated"
+        # The corridor connects to each wing through exactly ONE door.
+        bridge_edges = [
+            e for e in door_count
+            if any(a in e for a in arts)
+        ]
+        assert any(door_count[e] == 1 for e in bridge_edges), (
+            f"no single-door bridge edge (door_count={door_count})"
+        )

@@ -206,3 +206,52 @@ def test_world_anchored_textures_agree_across_viewpoints():
         assert np.abs(ca - cb).max() < 25, (p, ca, cb)
         checked += 1
     assert checked >= 20, f"only {checked} comparable world points found"
+
+
+def test_door_mats_world_anchored_and_endpoint_invariant():
+    """v12 doormats: present when door_rects given, identical under endpoint
+    swap (coincident door copies from two rooms paint the same mat), and
+    world-anchored (two viewpoints agree on mat pixels)."""
+    room = np.array([[0.0, 0.0], [5.0, 0.0], [5.0, 4.0], [0.0, 4.0]])
+    world = synthetic.FloorWorld(
+        rooms=[room], seg_a=room, seg_b=np.roll(room, -1, 0),
+        portals=[[] for _ in range(4)],
+    )
+    door = (np.array([2.0, 0.0]), np.array([2.9, 0.0]))
+    cam = np.array([2.5, 2.0])
+    base = synthetic.render_synthetic_pano_world(
+        world, cam, 1.5, 3.0, h=128, w=256, seed=5
+    )
+    with_m = synthetic.render_synthetic_pano_world(
+        world, cam, 1.5, 3.0, h=128, w=256, seed=5, door_rects=[door]
+    )
+    swapped = synthetic.render_synthetic_pano_world(
+        world, cam, 1.5, 3.0, h=128, w=256, seed=5,
+        door_rects=[(door[1], door[0])],
+    )
+    floor = base["surface"] == synthetic.FLOOR
+    n_diff = (
+        (with_m["rgb"][floor] != base["rgb"][floor]).any(axis=-1).sum()
+    )
+    assert n_diff > 50, f"doormat changed only {n_diff} floor pixels"
+    assert np.array_equal(with_m["rgb"], swapped["rgb"]), (
+        "mat depends on door endpoint order — coincident copies would clash"
+    )
+
+    # Second viewpoint: same world points (on the mat) get the same color.
+    cam2 = np.array([1.0, 1.0])
+    v2 = synthetic.render_synthetic_pano_world(
+        world, cam2, 1.5, 3.0, h=128, w=256, seed=5, door_rects=[door]
+    )
+    # Compare the mat-region mean colors: sample world points near the door
+    # on the floor in both renders.
+    def mat_px(out, cam_xy):
+        wxy = out["hit_xyz"][..., :2] + cam_xy
+        on = (
+            (out["surface"] == synthetic.FLOOR)
+            & (np.abs(wxy[..., 0] - 2.45) < 0.3)
+            & (wxy[..., 1] > 0.1) & (wxy[..., 1] < 0.45)
+        )
+        return out["rgb"][on].astype(float).mean(axis=0)
+    c1, c2 = mat_px(with_m, cam), mat_px(v2, cam2)
+    assert np.abs(c1 - c2).max() < 25, f"mat colors disagree across views: {c1} vs {c2}"
