@@ -133,8 +133,15 @@ def run_incremental_reconstruction(
     plot_save_dir: Optional[str] = None,
     rescue_clusters: bool = False,
     rescue_min_conf: float = 0.5,
+    resolve_rot_conflicts: bool = False,
+    save_plots: bool = True,
 ) -> List[FloorReconstructionReport]:
-    """Run global optimization for every floor with serialized predictions."""
+    """Run global optimization for every floor with serialized predictions.
+
+    save_plots=False skips the side-by-side floorplan rendering + pose
+    serialization per floor (metrics only) — the val calibration sweep runs
+    Stage D dozens of times and only reads the summary numbers.
+    """
     if plot_save_dir is None:
         wdo_summary = "_".join(allowed_wdo_types)
         plot_save_dir = (
@@ -222,17 +229,8 @@ def run_incremental_reconstruction(
                 max_allowed_deviation_deg=5.0,
             )
 
-        if rescue_clusters:
-            # Connectivity rescue: when the thresholded edge graph splits the
-            # floor into several components (or strands panos entirely), pull
-            # the most confident sub-threshold crossings back in, one at a
-            # time, each gated by the wall-penetration validity check — so a
-            # verifier false negative on a bridge edge (e.g. a doorway-only
-            # connection between two wings) no longer strands whole wings.
-            # The reference's cluster_merging is WIP (pdb at :176) and only
-            # reachable from its filtered_spanning_tree branch; here the
-            # completed flow backs every aggregation method, iterated until
-            # no acceptable crossing remains.
+        if rescue_clusters or resolve_rot_conflicts:
+            # Shared sub-threshold pool for the rescue + conflict resolution.
             # Candidate pool: POSITIVE predictions above the rescue floor
             # (y_hat==0 entries carry the negative class's confidence — a
             # confidently-rejected pose must never be ranked as a confident
@@ -258,6 +256,45 @@ def run_incremental_reconstruction(
                 i: np.asarray(pano.room_vertices_local_2d)
                 for i, pano in gt_floor_pose_graph.nodes.items()
             }
+
+        if resolve_rot_conflicts:
+            # Composite wall-penetration conflict resolution: a wing attached
+            # through mutually-consistent wrong-rotation FPs (0038's
+            # exactly-90-deg door mispairings) survives confidence AND GLC
+            # filtering, but its composite placement is physically invalid.
+            # Drop the violating family; the rescue below re-attaches the
+            # split wing with a penetration-gated crossing.
+            i2Si1_dict, dropped = cluster_merging.resolve_penetration_conflicts(
+                i2Si1_dict, two_view_reports_dict, rescue_layouts,
+                rescue_pool_i2Si1=i2Si1_all,
+                rescue_pool_reports=two_view_all,
+                all_nodes=set(gt_floor_pose_graph.nodes.keys()),
+                min_conf=rescue_min_conf,
+            )
+            if dropped:
+                dropped_set = set(dropped)
+                high_conf_inlier_measurements = [
+                    m
+                    for m in high_conf_inlier_measurements
+                    if (m.i1, m.i2) not in dropped_set
+                ]
+                logger.info(
+                    "Rotation-conflict resolution: dropped %d accepted "
+                    "edge(s) whose composite violated wall penetration: %s",
+                    len(dropped), sorted(dropped_set),
+                )
+
+        if rescue_clusters:
+            # Connectivity rescue: when the thresholded edge graph splits the
+            # floor into several components (or strands panos entirely), pull
+            # the most confident sub-threshold crossings back in, one at a
+            # time, each gated by the wall-penetration validity check — so a
+            # verifier false negative on a bridge edge (e.g. a doorway-only
+            # connection between two wings) no longer strands whole wings.
+            # The reference's cluster_merging is WIP (pdb at :176) and only
+            # reachable from its filtered_spanning_tree branch; here the
+            # completed flow backs every aggregation method, iterated until
+            # no acceptable crossing remains.
             n_rescued = 0
             while True:
                 merged = cluster_merging.merge_clusters(
@@ -349,7 +386,8 @@ def run_incremental_reconstruction(
         est_floor_pose_graph = PoseGraph2d.from_wSi_list(wSi_list, gt_floor_pose_graph)
         with profiler.stage_timer("sfm/report"):
             report = FloorReconstructionReport.from_est_floor_pose_graph(
-                est_floor_pose_graph, gt_floor_pose_graph, plot_save_dir=plot_save_dir
+                est_floor_pose_graph, gt_floor_pose_graph,
+                plot_save_dir=plot_save_dir if save_plots else None,
             )
             # Paper completeness metric (index.html:246): % of the floor's
             # panos inside the top-2/3 connected components of the edge
@@ -401,6 +439,10 @@ def run_incremental_reconstruction(
                    "confident sub-threshold crossings (wall-penetration gated).")
 @click.option("--rescue_min_conf", type=float, default=0.5,
               help="Confidence floor below which crossings are never rescued.")
+@click.option("--resolve_rot_conflicts", type=bool, default=False,
+              help="Drop accepted-edge families whose composite placement "
+                   "drives walls through freespace (wrong-rotation wing "
+                   "attachments), then let --rescue_clusters re-attach.")
 def launch_run_incremental_reconstruction(
     serialized_preds_json_dir,
     raw_dataset_dir,
@@ -413,6 +455,7 @@ def launch_run_incremental_reconstruction(
     filter_edges_by_random_spanning_trees,
     rescue_clusters,
     rescue_min_conf,
+    resolve_rot_conflicts,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     run_incremental_reconstruction(
@@ -428,6 +471,7 @@ def launch_run_incremental_reconstruction(
         filter_edges_by_random_spanning_trees=filter_edges_by_random_spanning_trees,
         rescue_clusters=rescue_clusters,
         rescue_min_conf=rescue_min_conf,
+        resolve_rot_conflicts=resolve_rot_conflicts,
     )
 
 

@@ -108,3 +108,94 @@ def test_merge_rejects_crossing_that_penetrates_walls():
     layouts = {i: square for i in range(4)}
     merged = merge_clusters(low_conf, consistent, reports, pano_layouts=layouts)
     assert merged is None
+
+
+class TestResolvePenetrationConflicts:
+    """Contested wing attachment (the 0038 mode): a node held by two
+    mutually-exclusive high-confidence edge families must keep the family
+    the physical evidence supports (composite wall penetration first, then
+    RANSAC-style pool support), with the rescue re-attaching anything the
+    cut splits off."""
+
+    def _scene(self, bad_t, bad_deg):
+        """4 panos in a row of 4x4 rooms at x=0,4,8,12; edge keys store
+        maxSmin. The bad edge (0,3) places pano 3 at `bad_t` rotated
+        `bad_deg` instead of (12,0)."""
+        import types
+
+        from salve_tpu.geometry.sim2 import Sim2
+
+        def pose(t, deg=0.0):
+            th = np.radians(deg)
+            R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+            return Sim2(R, np.asarray(t, dtype=float), 1.0)
+
+        wS = [pose((0, 0)), pose((4, 0)), pose((8, 0)), pose((12, 0))]
+        layouts = {
+            i: np.array([[-2.0, -2.0], [2.0, -2.0], [2.0, 2.0], [-2.0, 2.0]])
+            for i in range(4)
+        }
+
+        def rel(i2, i1, wSi1=None):  # i2Si1
+            return wS[i2].inverse().compose(wSi1 if wSi1 is not None else wS[i1])
+
+        wS3_bad = pose(bad_t, bad_deg)
+        accepted = {
+            (0, 1): rel(1, 0),
+            (1, 2): rel(2, 1),
+            (0, 2): rel(2, 0),
+            (2, 3): rel(3, 2),                       # true family
+            (0, 3): wS3_bad.inverse().compose(wS[0]),  # bad family: 3S0 wrong
+        }
+        # key (0,3) must store 3S0 = wS3^-1 wS0 — with pano 3 BAD-placed,
+        # the measured 3S0 equals wS3_bad^-1 wS0.
+        pool = dict(accepted)
+        pool[(1, 3)] = rel(3, 1)  # extra sub-threshold TRUE support
+        reports = {
+            e: types.SimpleNamespace(confidence=0.99) for e in pool
+        }
+        return accepted, pool, reports, layouts
+
+    def _run(self, bad_t, bad_deg):
+        from salve_tpu.algorithms.cluster_merging import (
+            resolve_penetration_conflicts,
+        )
+
+        accepted, pool, reports, layouts = self._scene(bad_t, bad_deg)
+        pruned, removed = resolve_penetration_conflicts(
+            accepted, reports, layouts,
+            rescue_pool_i2Si1=pool, rescue_pool_reports=reports,
+            all_nodes={0, 1, 2, 3}, min_conf=0.5,
+        )
+        return pruned, removed
+
+    def test_drops_penetrating_family(self):
+        # Bad placement right on top of room 1: composite wall penetration.
+        pruned, removed = self._run(bad_t=(4.0, 0.5), bad_deg=90.0)
+        assert removed == [(0, 3)]
+        assert (2, 3) in pruned
+
+    def test_drops_empty_space_family_by_pool_support(self):
+        # Bad placement in empty space (no penetration): decided by pool
+        # support — (2,3) accepted + (1,3) sub-threshold agree with the
+        # true placement, only (0,3) with the bad one.
+        pruned, removed = self._run(bad_t=(0.0, -7.0), bad_deg=90.0)
+        assert removed == [(0, 3)]
+        assert (2, 3) in pruned
+
+    def test_clean_graph_untouched(self):
+        import types
+
+        from salve_tpu.algorithms.cluster_merging import (
+            resolve_penetration_conflicts,
+        )
+
+        accepted, pool, reports, layouts = self._scene((12.0, 0.0), 0.0)
+        # make the "bad" edge actually true -> no contest
+        pruned, removed = resolve_penetration_conflicts(
+            accepted, reports, layouts,
+            rescue_pool_i2Si1=pool, rescue_pool_reports=reports,
+            all_nodes={0, 1, 2, 3}, min_conf=0.5,
+        )
+        assert removed == []
+        assert pruned == accepted
