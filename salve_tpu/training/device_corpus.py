@@ -114,12 +114,16 @@ class DeviceCorpus:
 
     def iter_batches(
         self, batch_size: int, shuffle: bool, seed: int = 0, drop_last: bool = True
-    ) -> Iterator[Tuple[jax.Array, np.ndarray, List[Tuple]]]:
-        """Yields (imgs sharded on device, labels host i32, tuples).
+    ) -> Iterator[Tuple[jax.Array, np.ndarray, List[Tuple], np.ndarray]]:
+        """Yields (imgs sharded on device, labels host i32, tuples, valid).
 
         Each device draws ``batch_size / n_devices`` examples per step from
         its OWN shard (local permutation when ``shuffle``); partial tail
         steps are always dropped so every dispatch keeps one compiled shape.
+        ``valid`` (host bool) is False on the wrap-around padding rows that
+        equalize the shards — the metric fold masks them so duplicated
+        examples never contaminate val statistics (they still flow through
+        the train step, where <= mesh-1 duplicates per epoch is noise).
         """
         if batch_size % self.n_devices:
             raise ValueError(
@@ -154,4 +158,5 @@ class DeviceCorpus:
             tuples = [
                 self.dataset.data_list[self._src_index[g]] for g in global_rows
             ]
-            yield imgs, labels, tuples
+            valid = global_rows < len(self.dataset)
+            yield imgs, labels, tuples, valid

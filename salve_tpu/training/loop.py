@@ -39,15 +39,24 @@ def _make_metric_fold(num_classes: int):
     how fast the device step is). One fetch per log interval / epoch end.
     """
 
-    def fold(acc, loss, probs, labels):
+    def fold(acc, loss, probs, labels, valid):
+        # `valid` masks wrap-around padding rows a DeviceCorpus adds to
+        # equalize shards (device_corpus.py): without it the duplicated
+        # examples are double-counted in the val confusion matrix every
+        # epoch, biasing the val_mAcc best-checkpoint selection. The step
+        # loss is a batch mean (per-example losses aren't exposed), so
+        # loss_sum weights it by the valid count — exact when the batch has
+        # no padding (all train steps), off by the duplicated examples'
+        # contribution otherwise (<= mesh-1 examples per epoch).
         y_hat = jnp.argmax(probs, axis=1)
+        w = valid.astype(jnp.int32)
         cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-        cm = cm.at[labels, y_hat].add(1)
-        bs = labels.shape[0]
+        cm = cm.at[labels, y_hat].add(w)
+        n_valid = w.sum()
         return {
             "cm": acc["cm"] + cm,
-            "loss_sum": acc["loss_sum"] + loss * bs,
-            "n": acc["n"] + bs,
+            "loss_sum": acc["loss_sum"] + loss * n_valid,
+            "n": acc["n"] + n_valid,
         }
 
     return jax.jit(fold)
@@ -96,22 +105,34 @@ def run_epoch(
 
     n_batches = 0
     t_start = time.time()
-    for imgs, labels, _ in dataset.iter_batches(
+    # Bound host run-ahead independently of the logging interval: every
+    # dispatch is asynchronous, and each in-flight gathered batch pins a
+    # batch-sized uint8 buffer in HBM (~20+ MB at the 234px recipe), so a
+    # large print_every would let the host queue multi-GB of transient
+    # buffers. A cheap device-scalar fetch every `sync_every` steps drains
+    # the queue to at most that many outstanding steps; the fetch latency
+    # overlaps the device working through the queued window.
+    sync_every = max(1, min(cfg.print_every, 32))
+    for batch in dataset.iter_batches(
         cfg.batch_size, shuffle=(split == "train"), seed=epoch
     ):
+        imgs, labels = batch[0], batch[1]
+        # DeviceCorpus yields a 4th element masking its wrap-around shard
+        # padding; host-streamed batches are all valid.
+        valid = batch[3] if len(batch) > 3 else np.ones(len(labels), bool)
         if mesh is not None and imgs.shape[0] % mesh.size == 0:
             if isinstance(imgs, jax.Array):
                 # DeviceCorpus batches arrive already sharded on the mesh;
                 # only the host labels still need placing.
-                labels = shard_batch(mesh, labels)
+                labels, valid = shard_batch(mesh, (labels, valid))
             else:
-                imgs, labels = shard_batch(mesh, (imgs, labels))
+                imgs, labels, valid = shard_batch(mesh, (imgs, labels, valid))
         if split == "train":
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, imgs, labels, sub)
         else:
             metrics = step_fn(state, imgs, labels)
-        acc = fold(acc, metrics["loss"], metrics["probs"], labels)
+        acc = fold(acc, metrics["loss"], metrics["probs"], labels, valid)
         n_batches += 1
         if n_batches % cfg.print_every == 0:
             avg_loss, mAcc, _ = _metrics_from_acc(acc)  # syncs to this step
@@ -120,6 +141,8 @@ def run_epoch(
                 split, epoch, n_batches, avg_loss, mAcc,
                 (time.time() - t_start) / n_batches,
             )
+        elif n_batches % sync_every == 0:
+            int(np.asarray(acc["n"]))  # backpressure sync only
         if max_batches is not None and n_batches >= max_batches:
             break
 
@@ -188,20 +211,38 @@ def train(
     if budget_gb > 0 and len(train_ds) > 0:
         from salve_tpu.training import device_corpus as dc
 
+        def _fits_one_step(ds) -> bool:
+            # DeviceCorpus.iter_batches raises when a device's shard can't
+            # fill even one per-device batch (device_corpus.py); a split
+            # smaller than one mesh-wide batch must keep streaming from the
+            # host, which handles partial batches (drop_last=False).
+            per_dev = cfg.batch_size // mesh.size
+            return -(-len(ds) // mesh.size) >= per_dev > 0
+
         est_train = dc.estimated_corpus_bytes(train_ds)
         est_val = dc.estimated_corpus_bytes(val_ds)
-        if est_train <= budget_gb * 1e9 and cfg.batch_size % mesh.size == 0:
+        if (
+            est_train <= budget_gb * 1e9
+            and cfg.batch_size % mesh.size == 0
+            and _fits_one_step(train_ds)
+        ):
             train_data = dc.DeviceCorpus(train_ds, mesh)
             # The val split rides along when the budget covers both: per-
             # epoch best-ckpt selection otherwise re-streams it every epoch.
             # (Device-corpus val drops the sub-batch tail — bounded metric
             # noise of < batch_size pairs out of the whole split.)
-            if 0 < est_val <= budget_gb * 1e9 - est_train:
+            if 0 < est_val <= budget_gb * 1e9 - est_train and _fits_one_step(val_ds):
                 val_data = dc.DeviceCorpus(val_ds, mesh)
+            elif len(val_ds) > 0:
+                logger.warning(
+                    "device_corpus: val split streams from host "
+                    "(%.2f GB over remaining budget, or < one full step)",
+                    est_val / 1e9,
+                )
         else:
             logger.warning(
-                "device_corpus disabled: corpus %.2f GB vs budget %.2f GB "
-                "(or batch %d not divisible by mesh size %d)",
+                "device_corpus disabled: corpus %.2f GB vs budget %.2f GB, "
+                "batch %d vs mesh size %d, or split smaller than one step",
                 est_train / 1e9, budget_gb, cfg.batch_size, mesh.size,
             )
 

@@ -58,7 +58,7 @@ class TestDeviceCorpus:
         dc = DeviceCorpus(ds, mesh)
         assert len(dc) == 50
         n_batches = 0
-        for imgs, labels, tuples in dc.iter_batches(16, shuffle=True, seed=3):
+        for imgs, labels, tuples, valid in dc.iter_batches(16, shuffle=True, seed=3):
             assert isinstance(imgs, jax.Array)
             assert imgs.shape == (16, 2, 8, 8, 3) and imgs.dtype == np.uint8
             host = np.asarray(imgs)
@@ -75,7 +75,7 @@ class TestDeviceCorpus:
         ds = FakeDataset(64)
         dc = DeviceCorpus(ds, mesh)
         seen = []
-        for _, _, tuples in dc.iter_batches(16, shuffle=True, seed=0):
+        for _, _, tuples, _v in dc.iter_batches(16, shuffle=True, seed=0):
             seen.extend(_tuple_index(t) for t in tuples)
         # 64 % (8 devices) == 0 and 64 % 16 == 0: every example exactly once.
         assert sorted(seen) == list(range(64))
@@ -87,7 +87,7 @@ class TestDeviceCorpus:
 
         def order(shuffle, seed):
             out = []
-            for _, _, tuples in dc.iter_batches(16, shuffle=shuffle, seed=seed):
+            for _, _, tuples, _v in dc.iter_batches(16, shuffle=shuffle, seed=seed):
                 out.extend(_tuple_index(t) for t in tuples)
             return out
 
@@ -181,3 +181,47 @@ class TestTrainLoopWithDeviceCorpus:
         )
         assert not any("DeviceCorpus:" in r.message for r in caplog.records)
         assert len(results["train_avg_loss"]) == 1
+
+
+class TestPaddingValidityMask:
+    def test_valid_masks_wraparound_padding(self):
+        """50 pads to 56: exactly 6 padded (duplicate) rows across the epoch
+        are flagged invalid; all real rows are valid exactly once."""
+        mesh = make_mesh()
+        ds = FakeDataset(50)
+        dc = DeviceCorpus(ds, mesh)
+        n_valid = n_invalid = 0
+        for _, _, tuples, valid in dc.iter_batches(56, shuffle=False, seed=0):
+            for t, v in zip(tuples, valid):
+                if v:
+                    n_valid += 1
+                else:
+                    n_invalid += 1
+                    # padding wraps to the FIRST examples
+                    assert _tuple_index(t) < 6
+        assert n_valid == 50 and n_invalid == 6
+
+    def test_small_split_falls_back_to_streaming(
+        self, tmp_path, tiny_bev_tree, caplog
+    ):
+        """A split smaller than one mesh-wide batch must stream from host
+        (DeviceCorpus.iter_batches would raise mid-epoch otherwise)."""
+        from salve_tpu.training.loop import train
+
+        cfg = TrainingConfig(
+            num_layers=18,
+            resize_h=36, resize_w=36, train_h=32, train_w=32,
+            batch_size=200,  # > the 24-pair tiny split: zero full steps
+            num_epochs=1,
+            workers=2,
+            print_every=100,
+            compute_dtype="float32",
+            data_root=str(tiny_bev_tree),
+            model_save_dirpath=str(tmp_path / "ckpts"),
+            device_corpus_gb=1.0,
+        )
+        with caplog.at_level("INFO"):
+            results = train(cfg)
+        assert any("device_corpus disabled" in r.message for r in caplog.records)
+        assert len(results["train_avg_loss"]) == 1
+        assert all(np.isfinite(v) for v in results["train_avg_loss"])
