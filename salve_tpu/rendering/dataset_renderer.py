@@ -71,6 +71,27 @@ def write_jpg(fpath: str, img: "np.ndarray", quality: int = 95) -> None:
         imageio.imwrite(fpath, img, quality=quality)
 
 
+def encode_jpg_bytes(img: "np.ndarray", quality: int = 95) -> bytes:
+    """In-memory JPEG encode, byte-identical to write_jpg's file output."""
+    try:
+        import cv2
+
+        ok, buf = cv2.imencode(
+            ".jpg", img[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, quality]
+        )
+        if not ok:
+            raise IOError("cv2.imencode failed")
+        return buf.tobytes()
+    except ImportError:
+        import io
+
+        import imageio.v2 as imageio
+
+        with io.BytesIO() as f:
+            imageio.imwrite(f, img, format="jpg", quality=quality)
+            return f.getvalue()
+
+
 def _pano_fpaths_for_building(raw_dataset_dir: str, building_id: str) -> Dict[int, str]:
     img_fpaths = glob.glob(f"{raw_dataset_dir}/{building_id}/panos/*.jpg")
     return {panoid_from_fpath(fp): fp for fp in img_fpaths}
@@ -197,7 +218,11 @@ def _render_texture_pairs_batched(
     if not work:
         return 0
 
+    from salve_tpu.utils import profiler
+    import time as _time
+
     # Stage the pano bank (unique panos only): depth + resized rgb.
+    _t0 = _time.time()
     pano_ids = sorted(needed_panos)
     id2bank = {pid: k for k, pid in enumerate(pano_ids)}
 
@@ -210,6 +235,7 @@ def _render_texture_pairs_batched(
         loaded = list(pool.map(load_pano, pano_ids))
     depths = np.stack([d for d, _ in loaded])
     rgbs = np.stack([c for _, c in loaded]).astype(np.float32)
+    profiler.record_stage("render/pano_load", _time.time() - _t0)
 
     # Bucket the pano-bank size: the jitted bank renders compile per input
     # shape, and floors carry anywhere from 2 to 30+ panos — padding P to a
@@ -230,9 +256,11 @@ def _render_texture_pairs_batched(
     rgbs_d = jnp.asarray(rgbs)
 
     warp_banks, ident_banks = {}, {}
+    ident_jpg_cache: Dict[Tuple[str, int], bytes] = {}
     if use_warp:
         from salve_tpu.ops import warp as warp_ops
 
+        _t0 = _time.time()
         render_cfg = bev_pair.BEVRenderConfig()
         bank_px = 2 * render_cfg.img_px
         batch_size = max(batch_size, WARP_BATCH_SIZE)
@@ -260,21 +288,57 @@ def _render_texture_pairs_batched(
                     depths_d, rgbs_d, z_range, render_cfg
                 )[: len(pano_ids)]
             )
+        profiler.record_stage("render/warp_bank_stage", _time.time() - _t0)
+
+        # Encode each identity render ONCE per (surface, pano). Every
+        # hypothesis pair re-writes the SAME img2 bytes (the identity render
+        # of its pano 2) under a pair-specific filename; hypotheses
+        # outnumber panos ~100x, so caching the encoded bytes removes ~half
+        # of all JPEG encodes from the corpus path — the dominant host cost
+        # on a 1-core machine (BENCH_NOTES round 4: ~60-70 ms/item, mostly
+        # encode). Byte-identical output: same encoder, same input pixels.
+        _t0 = _time.time()
+        for surface_type in ("floor", "ceiling"):
+            bank = ident_banks[surface_type]
+            for k in range(len(pano_ids)):
+                ident_jpg_cache[(surface_type, k)] = encode_jpg_bytes(bank[k])
+        profiler.record_stage("render/ident_encode", _time.time() - _t0)
 
     writer_pool = ThreadPoolExecutor(max_workers=io_workers)
     write_futures: list = []
     count = 0
 
+    def write_bytes(fpath: str, data: bytes) -> None:
+        with open(fpath, "wb") as f:
+            f.write(data)
+
+    def encode_and_write(fpath: str, img) -> None:
+        # quality=95: default JPEG quality (75) adds ~5/255 of noise,
+        # comparable to the aligned-vs-misaligned texture signal the
+        # verifier trains on (BENCH_NOTES round-2 root-cause hunt).
+        t0 = _time.time()
+        write_jpg(fpath, img)
+        profiler.record_stage("render/jpg_encode", _time.time() - t0)
+
     def flush(pending):
         """Fetch a dispatched device batch and queue its JPG writes."""
-        chunk, imgs1_d, imgs2_d = pending
-        imgs1, imgs2 = np.asarray(imgs1_d), np.asarray(imgs2_d)
+        chunk, imgs1_d, imgs2_d, bank_k2 = pending
+        imgs1 = np.asarray(imgs1_d)
+        imgs2 = None if imgs2_d is None else np.asarray(imgs2_d)
         for k, w in enumerate(chunk):
-            # quality=95: default JPEG quality (75) adds ~5/255 of noise,
-            # comparable to the aligned-vs-misaligned texture signal the
-            # verifier trains on (BENCH_NOTES round-2 root-cause hunt).
-            write_futures.append(writer_pool.submit(write_jpg, w[4], imgs1[k]))
-            write_futures.append(writer_pool.submit(write_jpg, w[5], imgs2[k]))
+            write_futures.append(writer_pool.submit(encode_and_write, w[4], imgs1[k]))
+            if bank_k2 is not None:
+                # Warp path: img2 is the pano's identity render — write the
+                # cached bytes instead of re-encoding.
+                write_futures.append(
+                    writer_pool.submit(
+                        write_bytes, w[5], ident_jpg_cache[(w[3], int(bank_k2[k]))]
+                    )
+                )
+            else:
+                write_futures.append(
+                    writer_pool.submit(encode_and_write, w[5], imgs2[k])
+                )
 
     # One-batch lookahead: batch k's device->host transfer overlaps batch
     # k+1's on-device render (JAX dispatch is asynchronous).
@@ -283,12 +347,14 @@ def _render_texture_pairs_batched(
         surf_work = [w for w in work if w[3] == surface_type]
         for start in range(0, len(surf_work), batch_size):
             chunk = surf_work[start : start + batch_size]
+            _t0 = _time.time()
             pair_indices = np.array(
                 [[id2bank[w[1]], id2bank[w[2]]] for w in chunk], dtype=np.int32
             )
             sims = [Sim2.from_json(w[0]) for w in chunk]
             rotations = np.stack([s.rotation for s in sims]).astype(np.float32)
             translations = np.stack([s.translation for s in sims]).astype(np.float32)
+            profiler.record_stage("render/hyp_parse", _time.time() - _t0)
             # Pad the tail chunk to the full batch shape (identity poses on
             # bank slot 0): one compiled program per surface, no per-tail
             # recompiles. flush() only iterates the real rows.
@@ -311,14 +377,15 @@ def _render_texture_pairs_batched(
                 # dispatch, no per-pair transfer. Bit-exactness vs the
                 # device gather warp is tested in
                 # tests/parity/test_warp_drift.py (host mirror).
+                _t0 = _time.time()
                 imgs1_h = warp_ops.warp_bank_sim2_nn_host(
                     warp_banks[surface_type],
                     rotations,
                     translations * bev_pair.HOHO_S_ZIND_SCALE_FACTOR,
                     bank_idx=pair_indices[:, 0],
                 )
-                imgs2_h = ident_banks[surface_type][pair_indices[:, 1]]
-                flush((chunk, imgs1_h, imgs2_h))
+                profiler.record_stage("render/host_warp", _time.time() - _t0)
+                flush((chunk, imgs1_h, None, pair_indices[:, 1]))
                 count += len(chunk)
                 continue
 
@@ -334,7 +401,7 @@ def _render_texture_pairs_batched(
                     arr.copy_to_host_async()
             if pending is not None:
                 flush(pending)
-            pending = (chunk, imgs1_d, imgs2_d)
+            pending = (chunk, imgs1_d, imgs2_d, None)
             count += len(chunk)
     if pending is not None:
         flush(pending)

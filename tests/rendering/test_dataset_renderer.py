@@ -217,6 +217,16 @@ class TestWriteJpg:
         imageio.imwrite(str(tmp_path / "b.jpg"), img, quality=95)
         assert (tmp_path / "a.jpg").read_bytes() == (tmp_path / "b.jpg").read_bytes()
 
+    def test_encode_bytes_matches_file_write(self, tmp_path) -> None:
+        """encode_jpg_bytes (the identity-render byte cache) must produce
+        exactly the bytes write_jpg would put on disk — the warp corpus's
+        img2 files stay byte-identical with encode-once reuse."""
+        from salve_tpu.rendering.dataset_renderer import encode_jpg_bytes, write_jpg
+
+        img = np.random.default_rng(1).integers(0, 255, (501, 501, 3)).astype(np.uint8)
+        write_jpg(str(tmp_path / "a.jpg"), img)
+        assert encode_jpg_bytes(img) == (tmp_path / "a.jpg").read_bytes()
+
 
 class TestDepthCache:
     def test_missing_cache_raises_without_model(self, tmp_path) -> None:
