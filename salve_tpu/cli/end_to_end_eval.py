@@ -107,6 +107,18 @@ def _per_building_verifier(preds_dir: Path) -> dict:
 @click.option("--procedural_val_buildings", type=int, default=0,
               help="Generate N procedural buildings with val-split ids so "
                    "best-checkpoint selection uses a real held-out val mAcc.")
+@click.option("--procedural_val_pathological", type=int, default=0,
+              help="Generate N ADDITIONAL val-split buildings with "
+                   "style='pathological' (dataset/procedural.py): two wings "
+                   "joined by single-door bridge edges. Round-4 val was too "
+                   "clean to discriminate Stage-D configs (rescue/GLC never "
+                   "fired); these give the val method freeze failures to "
+                   "select on.")
+@click.option("--procedural_version", type=int, default=11,
+              help="Generator vintage for TRAIN and VAL procedural ids "
+                   "(v12 adds standard door widths + door twins). Eval ids "
+                   "always use v11 so held-out geometry stays frozen across "
+                   "rounds.")
 @click.option("--eval_procedural_buildings", type=int, default=0,
               help="Generate N never-trained-on procedural buildings with "
                    "TEST-split ids and score the verifier + reconstruction "
@@ -159,15 +171,33 @@ def _per_building_verifier(preds_dir: Path) -> dict:
                    "crossings, gated by the wall-penetration validity check "
                    "(algorithms/cluster_merging.py). Applied consistently to "
                    "the calibration sweep and the held-out reconstruction.")
+@click.option("--glc", is_flag=True, default=False,
+              help="Filter edges by global/local consistency before "
+                   "aggregation (algorithms/global_local_consistency.py), "
+                   "applied consistently to calibration and held-out runs.")
+@click.option("--rotfix", is_flag=True, default=False,
+              help="Resolve contested wing attachments among accepted edges "
+                   "(wall-penetration + pool-support tournament, "
+                   "algorithms/cluster_merging.py:resolve_penetration_conflicts); "
+                   "pairs with --rescue_clusters for re-attachment.")
+@click.option("--freeze_method_on_val", is_flag=True, default=False,
+              help="Extend --calibrate_on_val to ALSO elect the Stage-D "
+                   "config on val: sweep {base, rescue, glc, glc+rescue} x "
+                   "thresholds through the val reconstruction, freeze the "
+                   "best (config, threshold) pair, and run held-out Stage D "
+                   "once at that frozen point. Ties prefer the simpler "
+                   "config. The deployment analog of the reference's one "
+                   "shipped config (scripts/run_sfm.py:617).")
 def run_end_to_end_eval(
     src_zind_dir, output_dir, train_building, eval_building, num_layers,
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
     confidence_threshold, method, modalities, procedural_train_buildings,
-    procedural_val_buildings, eval_procedural_buildings,
+    procedural_val_buildings, procedural_val_pathological, procedural_version,
+    eval_procedural_buildings,
     photometric_augmentation, append_pair_difference,
     calibrate_on_val, warp_corpus, resume_ckpt, finetune_ckpt,
     decoded_cache_gb, device_corpus_gb,
-    stage_d_only, rescue_clusters,
+    stage_d_only, rescue_clusters, glc, rotfix, freeze_method_on_val,
 ) -> None:
     logging.basicConfig(level=logging.INFO)
     if num_epochs == 0 and not (finetune_ckpt or resume_ckpt) and not stage_d_only:
@@ -190,7 +220,7 @@ def run_end_to_end_eval(
     if stage_d_only:
         _run_stage_d_only(
             out, hyp_root, raw_dir, preds_dir, plots_dir, method,
-            confidence_threshold, t_start, rescue_clusters,
+            confidence_threshold, t_start, rescue_clusters, glc, rotfix,
         )
         return
 
@@ -212,7 +242,7 @@ def run_end_to_end_eval(
     src_dirs = {train_building: src_zind_dir, eval_building: src_zind_dir}
     eval_proc_ids: list = []
     if (procedural_train_buildings > 0 or procedural_val_buildings > 0
-            or eval_procedural_buildings > 0):
+            or procedural_val_pathological > 0 or eval_procedural_buildings > 0):
         from salve_tpu.dataset.procedural import write_procedural_buildings
         from salve_tpu.dataset.zind_partition import DATASET_SPLITS
 
@@ -222,26 +252,45 @@ def run_end_to_end_eval(
             bid for bid in sorted(DATASET_SPLITS["train"])
             if bid not in (train_building, eval_building)
         ][:procedural_train_buildings]
-        proc_ids += [
+        val_pool = [
             bid for bid in sorted(DATASET_SPLITS["val"])
             if bid not in (train_building, eval_building)
-        ][:procedural_val_buildings]
+        ]
+        proc_ids += val_pool[:procedural_val_buildings]
+        # Pathological val buildings take the NEXT unused val ids: the clean
+        # val set keeps its round-4 ids/geometry (calibration stays
+        # comparable) and the pathological additions extend it.
+        patho_ids = val_pool[
+            procedural_val_buildings
+            : procedural_val_buildings + procedural_val_pathological
+        ]
+        proc_ids += patho_ids
         # Held-out reconstruction targets: test-split ids seed NEVER-trained
         # geometry (seed derives from the id), scored exactly like
-        # --eval_building through the same Stage A->D contracts.
+        # --eval_building through the same Stage A->D contracts. ALWAYS
+        # generated at v11 so held-out geometry is frozen across rounds
+        # (tests/dataset/test_procedural.py:test_v11_heldout_geometry_frozen).
         eval_proc_ids = [
             bid for bid in sorted(DATASET_SPLITS["test"])
             if bid not in (train_building, eval_building)
         ][:eval_procedural_buildings]
-        proc_ids += eval_proc_ids
         proc_src = out / "procedural_zind"
-        write_procedural_buildings(str(proc_src), proc_ids, base_seed=7)
+        write_procedural_buildings(
+            str(proc_src), proc_ids, base_seed=7,
+            version=procedural_version,
+            styles={bid: "pathological" for bid in patho_ids},
+        )
+        write_procedural_buildings(
+            str(proc_src), eval_proc_ids, base_seed=7, version=11
+        )
+        proc_ids += eval_proc_ids
         for bid in proc_ids:
             src_dirs[bid] = str(proc_src)
         logger.info(
-            "generated %d procedural buildings (%d train / %d val / %d eval ids)",
+            "generated %d procedural buildings (%d train / %d val / %d patho-val"
+            " / %d eval ids)",
             len(proc_ids), procedural_train_buildings, procedural_val_buildings,
-            len(eval_proc_ids),
+            len(patho_ids), len(eval_proc_ids),
         )
 
     buildings = sorted(src_dirs)
@@ -351,16 +400,43 @@ def run_end_to_end_eval(
     from salve_tpu.cli.run_sfm import run_incremental_reconstruction
 
     calibration_summary = None
-    if calibrate_on_val:
+    frozen_flags = {
+        "rescue_clusters": rescue_clusters, "glc": glc, "rotfix": rotfix,
+    }
+    if calibrate_on_val or freeze_method_on_val:
+        if freeze_method_on_val:
+            # Ordered simplest-first: ties elect the simpler config (a
+            # mechanism must EARN its place on val, the round-4 lesson in
+            # reverse — this round val contains pathological geometry the
+            # mechanisms can actually win on).
+            config_grid = [
+                ("pose2_slam",
+                 {"rescue_clusters": False, "glc": False, "rotfix": False}),
+                ("pose2_slam_rescue",
+                 {"rescue_clusters": True, "glc": False, "rotfix": False}),
+                ("pose2_slam_glc",
+                 {"rescue_clusters": False, "glc": True, "rotfix": False}),
+                ("pose2_slam_glc_rescue",
+                 {"rescue_clusters": True, "glc": True, "rotfix": False}),
+                ("pose2_slam_rotfix_rescue",
+                 {"rescue_clusters": True, "glc": False, "rotfix": True}),
+                ("pose2_slam_glc_rotfix_rescue",
+                 {"rescue_clusters": True, "glc": True, "rotfix": True}),
+            ]
+        else:
+            config_grid = [(method, dict(frozen_flags))]
         t0 = time.time()
-        calibration_summary, confidence_threshold = _calibrate_on_val_split(
-            cfg, ckpt_fpath, out, hyp_root, raw_dir, plots_dir, method,
-            rescue_clusters=rescue_clusters,
+        calibration_summary, confidence_threshold, frozen_flags = (
+            _calibrate_on_val_split(
+                cfg, ckpt_fpath, out, hyp_root, raw_dir, plots_dir, method,
+                config_grid=config_grid,
+            )
         )
         timings["calibration_s"] = round(time.time() - t0, 2)
         logger.info(
-            "frozen operating point from val: raw conf %.4f (T=%.3f)",
+            "frozen operating point from val: raw conf %.4f (T=%.3f) config=%s",
             confidence_threshold, calibration_summary["temperature"],
+            calibration_summary.get("frozen_config"),
         )
 
     t0 = time.time()
@@ -374,7 +450,9 @@ def run_end_to_end_eval(
         allowed_wdo_types=["door", "window", "opening"],
         predictions_data_root=None,
         plot_save_dir=str(plots_dir),
-        rescue_clusters=rescue_clusters,
+        rescue_clusters=frozen_flags["rescue_clusters"],
+        filter_edges_by_global_local_consistency=frozen_flags["glc"],
+        resolve_rot_conflicts=frozen_flags["rotfix"],
     )
     timings["stage_d_s"] = round(time.time() - t0, 2)
 
@@ -411,7 +489,8 @@ def run_end_to_end_eval(
             for k, v in floor_reconstruction_report.summarize_reports(reports).items()
         },
         "method": method,
-        "rescue_clusters": rescue_clusters,
+        "rescue_clusters": frozen_flags["rescue_clusters"],
+        "glc": frozen_flags["glc"],
         "confidence_threshold": confidence_threshold,
         "calibration": calibration_summary,
         "warp_corpus": warp_corpus,
@@ -426,22 +505,31 @@ def run_end_to_end_eval(
 def _calibrate_on_val_split(
     cfg, ckpt_fpath, out, hyp_root, raw_dir, plots_dir, method,
     threshold_grid=(0.5, 0.6, 0.7, 0.8, 0.9, 0.93),
-    rescue_clusters=False,
+    config_grid=None,
 ):
     """Fit temperature + freeze ONE operating point using the val split only.
 
     1. Score the val split (procedural val-id buildings) -> val batch JSONs.
     2. Fit scalar temperature by NLL (training/calibration.py).
-    3. Sweep CALIBRATED thresholds through the full Stage D reconstruction
-       of the val buildings; freeze the one with the best mean floorplan
-       IoU (ties -> higher localization, then higher threshold).
-    Returns (summary_dict, frozen_raw_confidence_threshold). Everything here
-    reads val data only — the held-out split stays untouched until the
+    3. Sweep CALIBRATED thresholds — and, when `config_grid` has several
+       entries, Stage-D configs (rescue / GLC combinations) — through the
+       full Stage D reconstruction of the val buildings; freeze the
+       (config, threshold) with the best mean floorplan IoU (ties -> higher
+       localization, then higher threshold, then the EARLIER = simpler
+       config).
+    Returns (summary_dict, frozen_raw_threshold, frozen_flags). Everything
+    here reads val data only — the held-out split stays untouched until the
     caller applies the frozen point once.
     """
     from salve_tpu.cli.run_sfm import run_incremental_reconstruction
     from salve_tpu.training import calibration
     from salve_tpu.training import loop as train_loop
+
+    if config_grid is None:
+        config_grid = [
+            (method,
+             {"rescue_clusters": False, "glc": False, "rotfix": False})
+        ]
 
     # Key the val predictions by checkpoint so a later run over the same
     # output_dir (e.g. an RN152 recipe pass reusing the rendered corpus)
@@ -461,50 +549,65 @@ def _calibrate_on_val_split(
     temperature = fit["temperature"]
 
     sweep = {}
-    best = None  # (iou, loc, t_cal, t_raw)
-    for t_cal in threshold_grid:
-        t_raw = calibration.raw_threshold_for_calibrated(t_cal, temperature)
-        reports = run_incremental_reconstruction(
-            hypotheses_save_root=str(hyp_root),
-            serialized_preds_json_dir=str(val_preds_dir),
-            raw_dataset_dir=str(raw_dir),
-            method=method,
-            confidence_threshold=t_raw,
-            use_axis_alignment=False,
-            allowed_wdo_types=["door", "window", "opening"],
-            predictions_data_root=None,
-            plot_save_dir=str(plots_dir / f"val_calib_{t_cal:g}"),
-            rescue_clusters=rescue_clusters,
-        )
-        ious = [r.floorplan_iou for r in reports if r.floorplan_iou is not None]
-        locs = [
-            r.percent_panos_localized
-            for r in reports
-            if r.percent_panos_localized is not None
-        ]
-        mean_iou = float(np.mean(ious)) if ious else 0.0
-        mean_loc = float(np.mean(locs)) if locs else 0.0
-        sweep[f"{t_cal:g}"] = {
-            "raw_equivalent": round(float(t_raw), 4),
-            "val_mean_iou": round(mean_iou, 4),
-            "val_mean_loc": round(mean_loc, 2),
-            "n_floors": len(ious),
-        }
-        key = (mean_iou, mean_loc, t_cal)
-        if best is None or key > best[:3]:
-            best = (mean_iou, mean_loc, t_cal, float(t_raw))
+    # best key: (iou, loc, t_cal, -config_rank) — earlier config wins ties.
+    best = None
+    best_sel = None  # (t_raw, flags, config_name)
+    for rank, (config_name, flags) in enumerate(config_grid):
+        cfg_sweep = {}
+        for t_cal in threshold_grid:
+            t_raw = calibration.raw_threshold_for_calibrated(t_cal, temperature)
+            reports = run_incremental_reconstruction(
+                hypotheses_save_root=str(hyp_root),
+                serialized_preds_json_dir=str(val_preds_dir),
+                raw_dataset_dir=str(raw_dir),
+                method=method,
+                confidence_threshold=t_raw,
+                use_axis_alignment=False,
+                allowed_wdo_types=["door", "window", "opening"],
+                predictions_data_root=None,
+                plot_save_dir=str(plots_dir / f"val_calib_{config_name}_{t_cal:g}"),
+                rescue_clusters=flags["rescue_clusters"],
+                filter_edges_by_global_local_consistency=flags["glc"],
+                resolve_rot_conflicts=flags.get("rotfix", False),
+                save_plots=False,
+            )
+            ious = [r.floorplan_iou for r in reports if r.floorplan_iou is not None]
+            locs = [
+                r.percent_panos_localized
+                for r in reports
+                if r.percent_panos_localized is not None
+            ]
+            mean_iou = float(np.mean(ious)) if ious else 0.0
+            mean_loc = float(np.mean(locs)) if locs else 0.0
+            cfg_sweep[f"{t_cal:g}"] = {
+                "raw_equivalent": round(float(t_raw), 4),
+                "val_mean_iou": round(mean_iou, 4),
+                "val_mean_loc": round(mean_loc, 2),
+                "n_floors": len(ious),
+            }
+            key = (round(mean_iou, 4), round(mean_loc, 2), t_cal, -rank)
+            if best is None or key > best:
+                best = key
+                best_sel = (float(t_raw), dict(flags), config_name, t_cal)
+        sweep[config_name] = cfg_sweep
 
+    t_raw, flags, config_name, t_cal = best_sel
     summary = dict(fit)
     summary["val_reconstruction_sweep"] = sweep
-    summary["frozen_threshold_calibrated"] = best[2]
-    summary["frozen_threshold_raw"] = round(best[3], 4)
-    summary["selection_rule"] = "max val mean IoU (ties: loc, then threshold)"
-    return summary, best[3]
+    summary["frozen_threshold_calibrated"] = t_cal
+    summary["frozen_threshold_raw"] = round(t_raw, 4)
+    summary["frozen_config"] = config_name
+    summary["frozen_flags"] = flags
+    summary["selection_rule"] = (
+        "max val mean IoU (ties: loc, then threshold, then simpler config)"
+    )
+    return summary, t_raw, flags
 
 
 def _run_stage_d_only(
     out, hyp_root, raw_dir, preds_dir, plots_dir, method,
-    confidence_threshold, t_start, rescue_clusters=False,
+    confidence_threshold, t_start, rescue_clusters=False, glc=False,
+    rotfix=False,
 ) -> None:
     """Stage D over a prior run's hypotheses + serialized predictions."""
     from salve_tpu.cli.run_sfm import run_incremental_reconstruction
@@ -524,6 +627,8 @@ def _run_stage_d_only(
         predictions_data_root=None,
         plot_save_dir=str(plots_dir),
         rescue_clusters=rescue_clusters,
+        filter_edges_by_global_local_consistency=glc,
+        resolve_rot_conflicts=rotfix,
     )
     from salve_tpu.common import floor_reconstruction_report
 
@@ -531,6 +636,8 @@ def _run_stage_d_only(
         "stage_d_only": True,
         "method": method,
         "rescue_clusters": rescue_clusters,
+        "glc": glc,
+        "rotfix": rotfix,
         "confidence_threshold": confidence_threshold,
         "reconstruction": [_report_dict(r) for r in reports],
         "reconstruction_summary": {
@@ -540,6 +647,10 @@ def _run_stage_d_only(
         "total_wallclock_s": round(time.time() - t_start, 2),
     }
     tag = f"{method}_conf{confidence_threshold:g}"
+    if glc:
+        tag += "_glc"
+    if rotfix:
+        tag += "_rotfix"
     if rescue_clusters:
         tag += "_rescue"
     with open(out / f"end_to_end_eval_stage_d_{tag}.json", "w") as f:
