@@ -504,7 +504,7 @@ def run_end_to_end_eval(
 
 def _calibrate_on_val_split(
     cfg, ckpt_fpath, out, hyp_root, raw_dir, plots_dir, method,
-    threshold_grid=(0.5, 0.6, 0.7, 0.8, 0.9, 0.93),
+    threshold_grid=(0.5, 0.7, 0.8, 0.9, 0.93),
     config_grid=None,
 ):
     """Fit temperature + freeze ONE operating point using the val split only.
