@@ -491,6 +491,7 @@ def run_end_to_end_eval(
         "method": method,
         "rescue_clusters": frozen_flags["rescue_clusters"],
         "glc": frozen_flags["glc"],
+        "rotfix": frozen_flags["rotfix"],
         "confidence_threshold": confidence_threshold,
         "calibration": calibration_summary,
         "warp_corpus": warp_corpus,
