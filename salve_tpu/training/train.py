@@ -206,9 +206,15 @@ def save_checkpoint(
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(ckpt_fpath, payload, force=True)
     elif format == "flax":
+        # Atomic write (tmp + rename): a crash or kill mid-save must never
+        # leave a truncated checkpoint — a resume loop that picks the newest
+        # ckpt would otherwise die on msgpack "incomplete input" forever
+        # (observed when a SIGKILL landed during a best-val save).
         ckpt_fpath = os.path.join(save_dir, "train_ckpt.flax")
-        with open(ckpt_fpath, "wb") as f:
+        tmp_fpath = ckpt_fpath + ".tmp"
+        with open(tmp_fpath, "wb") as f:
             f.write(flax.serialization.to_bytes(payload))
+        os.replace(tmp_fpath, ckpt_fpath)
     else:
         raise ValueError(f"Unknown checkpoint format {format}")
     meta = {
