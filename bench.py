@@ -436,19 +436,23 @@ def bench_verifier_train_step(reps: int = 4) -> dict:
     # the measured production rate (~640-890 pairs/s); this mirrors
     # training/device_corpus.py:iter_batches + training/loop.py:run_epoch.
     try:
+        # Free the f32 timing batch first: the step peaks at 14-15 GB HBM
+        # (BENCH_NOTES round 4) and the resident corpus must fit beside it.
+        del imgs
+        corpus_rows = 320
         corpus = jnp.asarray(
             rng.integers(
-                0, 255, (512, n_imgs, cfg.resize_h, cfg.resize_w, 3)
+                0, 255, (corpus_rows, n_imgs, cfg.resize_h, cfg.resize_w, 3)
             ).astype(np.uint8)
         )
         take = jax.jit(lambda c, i: jnp.take(c, i, axis=0))
-        idx_np = rng.integers(0, 512, (cfg.batch_size,)).astype(np.int32)
+        idx_np = rng.integers(0, corpus_rows, (cfg.batch_size,)).astype(np.int32)
         b = take(corpus, idx_np)
         state, metrics = step(state, b, labels, key)  # compile uint8-input step
         float(metrics["loss"])
         t0 = time.time()
         for i in range(reps):
-            idx_np = rng.integers(0, 512, (cfg.batch_size,)).astype(
+            idx_np = rng.integers(0, corpus_rows, (cfg.batch_size,)).astype(
                 np.int32
             )  # host-side index draw, like iter_batches
             b = take(corpus, idx_np)
@@ -460,6 +464,9 @@ def bench_verifier_train_step(reps: int = 4) -> dict:
         out["hbm_corpus_pairs_per_sec"] = round(cfg.batch_size / combined_s, 1)
     except Exception as e:  # never kill the headline metric
         out["hbm_corpus_gather_s"] = f"error: {e}"
+    finally:
+        # Drop the corpus before the streamed arm re-peaks the step.
+        corpus = b = None  # noqa: F841
 
     # Streamed-corpus path: per-batch host->device upload of the uint8
     # batch feeding the train step (the bs256 reference recipe when the
