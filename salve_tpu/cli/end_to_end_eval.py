@@ -114,6 +114,15 @@ def _per_building_verifier(preds_dir: Path) -> dict:
                    "clean to discriminate Stage-D configs (rescue/GLC never "
                    "fired); these give the val method freeze failures to "
                    "select on.")
+@click.option("--procedural_val_rotation_traps", type=int, default=0,
+              help="Generate N ADDITIONAL val-split buildings with "
+                   "style='rotation_trap' (dataset/procedural.py): "
+                   "exactly-equal door widths + forced same-width door "
+                   "twins, seeding accepted 90-deg rotation-FP families ON "
+                   "VAL so the method freeze can elect the rotation-"
+                   "conflict resolver (--rotfix) when it deserves it. The "
+                   "bridge-FN pathological style alone never fires rotfix "
+                   "(ACCURACY_r05 findings.val_discrimination_limit).")
 @click.option("--procedural_version", type=int, default=11,
               help="Generator vintage for TRAIN and VAL procedural ids "
                    "(v12 adds standard door widths + door twins). Eval ids "
@@ -192,7 +201,8 @@ def run_end_to_end_eval(
     src_zind_dir, output_dir, train_building, eval_building, num_layers,
     num_epochs, batch_size, resize_px, crop_px, depth_ckpt, depth_num_layers,
     confidence_threshold, method, modalities, procedural_train_buildings,
-    procedural_val_buildings, procedural_val_pathological, procedural_version,
+    procedural_val_buildings, procedural_val_pathological,
+    procedural_val_rotation_traps, procedural_version,
     eval_procedural_buildings,
     photometric_augmentation, append_pair_difference,
     calibrate_on_val, warp_corpus, resume_ckpt, finetune_ckpt,
@@ -242,7 +252,8 @@ def run_end_to_end_eval(
     src_dirs = {train_building: src_zind_dir, eval_building: src_zind_dir}
     eval_proc_ids: list = []
     if (procedural_train_buildings > 0 or procedural_val_buildings > 0
-            or procedural_val_pathological > 0 or eval_procedural_buildings > 0):
+            or procedural_val_pathological > 0 or procedural_val_rotation_traps > 0
+            or eval_procedural_buildings > 0):
         from salve_tpu.dataset.procedural import write_procedural_buildings
         from salve_tpu.dataset.zind_partition import DATASET_SPLITS
 
@@ -265,6 +276,14 @@ def run_end_to_end_eval(
             : procedural_val_buildings + procedural_val_pathological
         ]
         proc_ids += patho_ids
+        # Rotation-trap val buildings take the ids AFTER the pathological
+        # block, for the same reason: earlier val ids keep their geometry.
+        rot_ids = val_pool[
+            procedural_val_buildings + procedural_val_pathological
+            : procedural_val_buildings + procedural_val_pathological
+            + procedural_val_rotation_traps
+        ]
+        proc_ids += rot_ids
         # Held-out reconstruction targets: test-split ids seed NEVER-trained
         # geometry (seed derives from the id), scored exactly like
         # --eval_building through the same Stage A->D contracts. ALWAYS
@@ -275,10 +294,12 @@ def run_end_to_end_eval(
             if bid not in (train_building, eval_building)
         ][:eval_procedural_buildings]
         proc_src = out / "procedural_zind"
+        styles = {bid: "pathological" for bid in patho_ids}
+        styles.update({bid: "rotation_trap" for bid in rot_ids})
         write_procedural_buildings(
             str(proc_src), proc_ids, base_seed=7,
             version=procedural_version,
-            styles={bid: "pathological" for bid in patho_ids},
+            styles=styles,
         )
         write_procedural_buildings(
             str(proc_src), eval_proc_ids, base_seed=7, version=11
@@ -288,9 +309,9 @@ def run_end_to_end_eval(
             src_dirs[bid] = str(proc_src)
         logger.info(
             "generated %d procedural buildings (%d train / %d val / %d patho-val"
-            " / %d eval ids)",
+            " / %d rot-trap-val / %d eval ids)",
             len(proc_ids), procedural_train_buildings, procedural_val_buildings,
-            len(patho_ids), len(eval_proc_ids),
+            len(patho_ids), len(rot_ids), len(eval_proc_ids),
         )
 
     buildings = sorted(src_dirs)

@@ -233,8 +233,17 @@ def generate_building_json(
             into components, so conditional Stage-D mechanisms (connectivity
             rescue, GLC) actually fire on val and the val method freeze can
             discriminate them (round-4 val was too clean: all configs tied).
+            "rotation_trap" extends pathological with EXACTLY-equal door
+            widths everywhere (no per-door jitter) and forced same-width
+            door twins: every cross-wall door pairing passes Stage A's 0.8
+            width-ratio gate, seeding the exactly-90-deg rotation-FP family
+            (building 0038's failure mode) ON VAL — so the method freeze
+            can elect the rotation-conflict resolver (rotfix) when it
+            deserves it, instead of tying on geometry that never fires it
+            (ACCURACY_r05 findings.val_discrimination_limit).
     """
-    patho = style == "pathological"
+    patho = style in ("pathological", "rotation_trap")
+    rot_trap = style == "rotation_trap"
     if patho:
         version = max(version, 12)
     v12 = version >= 12
@@ -387,13 +396,17 @@ def generate_building_json(
                 and axis0 == "v"
                 and (c == bridge_col or c + 1 == bridge_col)
             )
-            is_opening = rng.uniform() < 0.40
+            # rotation_trap: doors dominate (openings rarely pair at 90 deg).
+            is_opening = rng.uniform() < (0.15 if rot_trap else 0.40)
             if bridge_wall:
                 # The wing-to-corridor connection is always a standard DOOR
                 # (the symmetric, hard-to-verify case) — and exactly one.
                 is_opening = False
             if v12 and not is_opening:
-                width = float(door_w_base * rng.uniform(0.93, 1.07))
+                # rotation_trap: the building's standard width EXACTLY — any
+                # door pairs with any rotated door through the width gate.
+                jitter = 1.0 if rot_trap else float(rng.uniform(0.93, 1.07))
+                width = float(door_w_base * jitter)
             else:
                 width = float(
                     rng.uniform(1.3, 3.0) if is_opening else rng.uniform(0.75, 1.15)
@@ -401,8 +414,9 @@ def generate_building_json(
             axis, coord, lo_w, hi_w = line
             lo, hi = lo_w + 0.5 + width / 2, hi_w - 0.5 - width / 2
             if hi <= lo:
-                # Narrow shared wall: shrink toward a standard door.
-                width = 0.8
+                # Narrow shared wall: shrink toward a standard door
+                # (rotation_trap keeps the exact building-standard width).
+                width = min(door_w_base, 0.8) if rot_trap else 0.8
                 lo, hi = lo_w + 0.4 + width / 2, hi_w - 0.4 - width / 2
                 is_opening = False
                 if hi <= lo:
@@ -413,7 +427,9 @@ def generate_building_json(
             # W/D/Os between ONE room pair is the classic Stage-A
             # disambiguation case (which of the two doors matches?).
             second_is_opening = False
-            if hi_w - lo_w >= 4.5 and not bridge_wall and rng.uniform() < 0.4:
+            twin_len = 3.6 if rot_trap else 4.5
+            twin_p = 0.9 if rot_trap else 0.4
+            if hi_w - lo_w >= twin_len and not bridge_wall and rng.uniform() < twin_p:
                 # v9: the second W/D/O is an opening 30% of the time
                 # (door+opening on one wall — e.g. a kitchen pass-through
                 # beside its door — appears in real tours and forces the
@@ -428,8 +444,10 @@ def generate_building_json(
                     # v12: same-width twins for DOORS too (0.55) — the
                     # wrong-door pairing of equal-width doors is the exact
                     # negative family 0038's rotation FPs live in; v11 only
-                    # seeded opening twins.
-                    same_width_twin = rng.uniform() < (0.6 if is_opening else 0.55)
+                    # seeded opening twins. rotation_trap: always.
+                    same_width_twin = rng.uniform() < (
+                        1.0 if rot_trap else (0.6 if is_opening else 0.55)
+                    )
                     second_is_opening = (
                         is_opening if same_width_twin else rng.uniform() < 0.3
                     )
@@ -437,7 +455,7 @@ def generate_building_json(
                     same_width_twin = is_opening and rng.uniform() < 0.6
                     second_is_opening = same_width_twin or rng.uniform() < 0.3
                 if same_width_twin:
-                    w2 = float(width * rng.uniform(0.96, 1.04))
+                    w2 = float(width if rot_trap else width * rng.uniform(0.96, 1.04))
                 elif v12 and not second_is_opening:
                     w2 = float(door_w_base * rng.uniform(0.93, 1.07))
                 else:
@@ -512,11 +530,12 @@ def generate_building_json(
             p0, p1, span = free_exterior_edges[
                 int(rng.integers(len(free_exterior_edges)))
             ]
-            d_w = (
-                float(door_w_base * rng.uniform(0.93, 1.07))
-                if v12
-                else float(rng.uniform(0.75, 1.1))
-            )
+            if rot_trap:
+                d_w = float(door_w_base)  # exact: every door pairs at 90 deg
+            elif v12:
+                d_w = float(door_w_base * rng.uniform(0.93, 1.07))
+            else:
+                d_w = float(rng.uniform(0.75, 1.1))
             along = (p1 - p0) / span
             u = rng.uniform(0.5 + d_w / 2, span - 0.5 - d_w / 2)
             a, b = _wall_segment(p0 + along * u, along, d_w / 2)

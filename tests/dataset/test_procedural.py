@@ -521,3 +521,42 @@ def test_pathological_bridge_topology():
         assert any(door_count[e] == 1 for e in bridge_edges), (
             f"no single-door bridge edge (door_count={door_count})"
         )
+
+
+def test_rotation_trap_equal_door_widths():
+    """style='rotation_trap': every door on the floor hangs at EXACTLY the
+    building's standard width (zero jitter), so every cross-wall door
+    pairing — including the 90-deg rotated family — passes Stage A's 0.8
+    width-ratio gate. This is the val geometry that lets the Stage-D method
+    freeze elect the rotation-conflict resolver: the bridge-FN pathological
+    style alone never fires it (ACCURACY_r05 findings)."""
+    for seed in (911, 912, 913):
+        d = procedural.generate_building_json(
+            seed=seed, version=12, style="rotation_trap"
+        )
+        fd = FloorData.from_json(d["merger"]["floor_01"], "floor_01")
+        # Door endpoints are stored in per-pano ego units (scaled by each
+        # camera height); width equality is a WORLD-frame property.
+        widths = [
+            float(np.linalg.norm(np.diff(
+                p.global_Sim2_local.transform_from(
+                    np.array([dd.pt1, dd.pt2])
+                ), axis=0,
+            )))
+            for p in fd.panos
+            for dd in p.doors
+        ]
+        assert len(widths) >= 4, "rotation_trap floor should be door-rich"
+        assert np.ptp(widths) < 1e-6 * max(widths), (
+            f"rotation_trap door widths must be exactly equal, got ptp="
+            f"{np.ptp(widths)}"
+        )
+        # The bridge topology is inherited from the pathological style.
+        n_rooms = len({
+            tuple(np.round(np.sort(
+                p.global_Sim2_local.transform_from(p.room_vertices_local_2d),
+                axis=0,
+            ).ravel(), 5))
+            for p in fd.panos
+        })
+        assert n_rooms >= 5
